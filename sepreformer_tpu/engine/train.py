@@ -1,0 +1,177 @@
+"""Jitted train/eval steps.
+
+The reference's per-batch hot loop (engine.py:55-77: forward -> 4 aux
+magnitude losses + time loss -> progressive weighting -> backward -> clip ->
+AdamW) becomes one fused jitted function.  The learning rate is an input
+(host-driven warmup/plateau control, see engine.py:61,201) so LR changes
+never trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from sepreformer_tpu.config import VariantConfig
+from sepreformer_tpu.losses import pit_sisnr_mag, pit_sisnr_time
+from sepreformer_tpu.models import SepReformer
+from sepreformer_tpu.ops.stft import make_stft_kernel
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: VariantConfig) -> optax.GradientTransformation:
+    """AdamW + global-norm clip (configs.yaml:114-118, engine.py:76).
+
+    The transformation is built with a *unit* learning rate; the actual LR
+    is injected per step via ``optax.scale_by_learning_rate`` replacement —
+    we instead scale the updates by the lr passed to ``train_step``.
+    """
+    o = cfg.optim
+    return optax.chain(
+        optax.clip_by_global_norm(o.clip_norm),
+        optax.scale_by_adam(b1=o.b1, b2=o.b2, eps=o.eps),
+        optax.add_decayed_weights(o.weight_decay),
+        # lr applied in train_step (host-controlled scalar input)
+        optax.scale(-1.0),
+    )
+
+
+def create_train_state(
+    cfg: VariantConfig,
+    rng: jax.Array,
+    sample_len: Optional[int] = None,
+) -> TrainState:
+    model = SepReformer(cfg.model)
+    sample_len = sample_len or cfg.dataset.max_len
+    x = jnp.zeros((1, sample_len), jnp.float32)
+    variables = model.init(rng, x)
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def compute_losses(
+    cfg: VariantConfig,
+    audio: jnp.ndarray,          # [spks, B, T]
+    aux: jnp.ndarray,            # [stages, spks, B, T]
+    sources: jnp.ndarray,        # [spks, B, T]
+    stft_kernel: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Progressive multi-loss (engine.py:67-74), alpha applied by caller."""
+    time_loss = pit_sisnr_time(audio, sources, scale_inv=cfg.criterion.scale_inv)
+    mag_losses = [
+        pit_sisnr_mag(
+            aux[i], sources, stft_kernel, cfg.criterion.stft.frame_shift,
+            scale_inv=cfg.criterion.scale_inv,
+        )
+        for i in range(aux.shape[0])
+    ]
+    metrics = {"time_loss": time_loss}
+    for i, ml in enumerate(mag_losses):
+        metrics[f"mag_loss_{i}"] = ml
+    metrics["mag_loss_mean"] = jnp.mean(jnp.stack(mag_losses))
+    return time_loss, metrics
+
+
+def make_train_step(cfg: VariantConfig, donate: bool = True):
+    """Build the jitted train step.
+
+    signature: (state, mixture [B,T], sources [spks,B,T], lr scalar,
+    alpha scalar, dropout_rng) -> (state, metrics)
+    """
+    model = SepReformer(cfg.model)
+    tx = make_optimizer(cfg)
+    kernel = jnp.asarray(
+        make_stft_kernel(
+            cfg.criterion.stft.frame_length,
+            cfg.criterion.stft.frame_shift,
+            cfg.criterion.stft.window,
+        )
+    )
+    num_spks = cfg.model.num_spks
+
+    def loss_fn(params, batch_stats, mixture, sources, alpha, rng):
+        (audio, aux), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mixture,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        time_loss, metrics = compute_losses(cfg, audio, aux, sources, kernel)
+        total = (
+            (1.0 - alpha) * time_loss + alpha * metrics["mag_loss_mean"]
+        ) / num_spks
+        metrics["total_loss"] = total
+        return total, (metrics, mutated["batch_stats"])
+
+    def train_step(state: TrainState, mixture, sources, lr, alpha, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, mixture, sources, alpha, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: lr * u, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: VariantConfig):
+    """Validation losses under running BN stats, no dropout
+    (engine.py:86-110)."""
+    model = SepReformer(cfg.model)
+    kernel = jnp.asarray(
+        make_stft_kernel(
+            cfg.criterion.stft.frame_length,
+            cfg.criterion.stft.frame_shift,
+            cfg.criterion.stft.window,
+        )
+    )
+
+    def eval_step(state: TrainState, mixture, sources):
+        audio, aux = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, mixture
+        )
+        _, metrics = compute_losses(cfg, audio, aux, sources, kernel)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def make_forward_fn(cfg: VariantConfig):
+    """Inference forward: mixture [B, T] -> separated [spks, B, T]."""
+    model = SepReformer(cfg.model)
+
+    def forward(params, batch_stats, mixture):
+        audio, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, mixture
+        )
+        return audio
+
+    return jax.jit(forward)

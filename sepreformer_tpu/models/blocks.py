@@ -1,0 +1,352 @@
+"""Separator building blocks (flax.linen, channels-last [B, T, F]).
+
+TPU-first layout: the feature dim F (128/256) stays on the last (lane) axis
+through the whole separator, so every Linear lands on the MXU without the
+permute churn of the reference's alternating [B,F,T]/[B,T,F] layouts.
+Depthwise convs run channels-last via ``lax.conv_general_dilated`` with
+``feature_group_count`` (VPU-friendly, XLA fuses the surrounding
+elementwise work).
+
+Behavioral reference for every block: modules/network.py in
+dmlguq456/SepReformer (exact lines cited per class).  Initializers match
+torch defaults (kaiming-uniform with a=sqrt(5) == U(+-1/sqrt(fan_in)) for
+Linear/Conv, N(0,1) for Embedding) so training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def torch_uniform_init(fan_in: int):
+    """U(-1/sqrt(fan_in), +1/sqrt(fan_in)) — torch Linear/Conv1d default."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch.nn.GELU default; jax.nn.gelu defaults to tanh."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def glu_last(x: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.GLU over the last axis: a * sigmoid(b)."""
+    a, b = jnp.split(x, 2, axis=-1)
+    return a * jax.nn.sigmoid(b)
+
+
+class TorchLinear(nn.Module):
+    """Dense with torch-default init (bias bound from fan_in)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_uniform_init(fan_in), (fan_in, self.features)
+        )
+        y = jnp.einsum("...i,io->...o", x, kernel.astype(x.dtype))
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class DepthwiseConv1d(nn.Module):
+    """Channels-last depthwise conv over time: [B, T, C] -> [B, T', C].
+
+    padding: int pad on both sides, or "SAME".
+    """
+
+    kernel_size: int
+    stride: int = 1
+    padding: object = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        # fan_in for torch depthwise Conv1d = (in_ch/groups) * k = k
+        kernel = self.param(
+            "kernel", torch_uniform_init(self.kernel_size), (self.kernel_size, 1, c)
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)]
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(self.stride,),
+            padding=pad,
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=c,
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(self.kernel_size), (c,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class LayerScale(nn.Module):
+    """Residual-branch scaling, init 1e-5 (network.py:7-18)."""
+
+    dim: int
+    init_value: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "scale",
+            lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
+            (self.dim,),
+        )
+        return x * scale.astype(x.dtype)
+
+
+class GCFN(nn.Module):
+    """Gated conv feed-forward (network.py:46-66).
+
+    LN -> Linear(F->6F) -> depthwise k3 -> GLU -> drop -> Linear(3F->F)
+    -> drop, LayerScale residual.
+    """
+
+    dim: int
+    dropout: float
+    layer_scale_init: float = 1.0e-5
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        y = TorchLinear(self.dim * 6, name="proj_in")(y)
+        y = DepthwiseConv1d(3, padding=1, name="depthwise")(y)
+        y = glu_last(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = TorchLinear(self.dim, name="proj_out")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return x + LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(y)
+
+
+class MultiHeadAttention(nn.Module):
+    """Pre-LN MHA with additive relative-position bias (network.py:69-124).
+
+    scores = (QK^T + Q pos_k^T) / sqrt(d_k); LayerScale on the output branch;
+    NO inner residual (callers add their own, matching the reference).
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float
+    layer_scale_init: float = 1.0e-5
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, pos_k: Optional[jnp.ndarray] = None, *, train: bool = False):
+        b, t, _ = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        q = TorchLinear(self.dim, name="q")(y).reshape(b, t, h, d)
+        k = TorchLinear(self.dim, name="k")(y).reshape(b, t, h, d)
+        v = TorchLinear(self.dim, name="v")(y).reshape(b, t, h, d)
+        scores = jnp.einsum(
+            "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
+        )
+        if pos_k is not None:
+            # pos_k: [T, T, d] rel-pos key table shared across batch/heads
+            scores = scores + jnp.einsum(
+                "bihd,ijd->bhij", q, pos_k.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        scores = scores / math.sqrt(d)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum(
+            "bhij,bjhd->bihd", attn, v, preferred_element_type=x.dtype
+        ).reshape(b, t, self.dim)
+        out = TorchLinear(self.dim, name="out")(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(out)
+
+
+class EGA(nn.Module):
+    """Efficient Global Attention (network.py:126-155).
+
+    Pools time down to the bottleneck length (= pos_k side), attends there,
+    nearest-upsamples back, and gates into the residual stream:
+    ``x + sigmoid(Linear(LN(x))) * up(attn(pool(x)))``.  Global attention
+    cost is therefore constant across stage resolutions.
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, pos_k, *, train: bool = False):
+        from sepreformer_tpu.ops.resample import (
+            adaptive_avg_pool_time,
+            nearest_upsample_time,
+        )
+
+        t = x.shape[1]
+        down_len = pos_k.shape[0]
+        x_down = adaptive_avg_pool_time(x, down_len)
+        x_down = MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout,
+            norm_eps=self.norm_eps, name="attn",
+        )(x_down, pos_k, train=train)
+        x_up = nearest_upsample_time(x_down, t)
+        gate = nn.LayerNorm(epsilon=self.norm_eps, name="gate_norm")(x)
+        gate = jax.nn.sigmoid(TorchLinear(self.dim, name="gate_proj")(gate))
+        return x + gate * x_up
+
+
+class CLA(nn.Module):
+    """Convolutional Local Attention (network.py:159-187).
+
+    LN -> Linear(F->2F) -> GLU -> depthwise k65 same -> Linear(F->2F)
+    -> BatchNorm -> GELU -> Linear(2F->F) -> drop, LayerScale residual.
+    """
+
+    dim: int
+    kernel_size: int
+    dropout: float
+    layer_scale_init: float = 1.0e-5
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        y = TorchLinear(self.dim * 2, name="proj_in")(y)
+        y = glu_last(y)
+        y = DepthwiseConv1d(self.kernel_size, padding="SAME", name="depthwise")(y)
+        y = TorchLinear(self.dim * 2, name="proj_mid")(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9,
+            epsilon=self.norm_eps, name="bn",
+        )(y)
+        y = gelu_exact(y)
+        y = TorchLinear(self.dim, name="proj_out")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return x + LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(y)
+
+
+class GlobalBlock(nn.Module):
+    """EGA + GCFN (network.py:189-209)."""
+
+    dim: int
+    num_heads: int
+    dropout: float
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, pos_k, *, train: bool = False):
+        x = EGA(self.dim, self.num_heads, self.dropout,
+                norm_eps=self.norm_eps, name="ega")(x, pos_k, train=train)
+        return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
+                    name="gcfn")(x, train=train)
+
+
+class LocalBlock(nn.Module):
+    """CLA + GCFN (network.py:212-224)."""
+
+    dim: int
+    kernel_size: int
+    dropout: float
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = CLA(self.dim, self.kernel_size, self.dropout,
+                norm_eps=self.norm_eps, name="cla")(x, train=train)
+        return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
+                    name="gcfn")(x, train=train)
+
+
+class SpkAttention(nn.Module):
+    """Cross-speaker transformer (network.py:227-252).
+
+    Attention over the speaker axis (seq len = num_spks): reshape
+    [B*spks, T, F] -> [B*T, spks, F], residual MHA, reshape back, GCFN.
+    """
+
+    dim: int
+    num_heads: int
+    num_spks: int
+    dropout: float
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        bs, t, f = x.shape
+        b = bs // self.num_spks
+        y = x.reshape(b, self.num_spks, t, f)
+        y = y.transpose(0, 2, 1, 3).reshape(b * t, self.num_spks, f)
+        y = y + MultiHeadAttention(
+            self.dim, self.num_heads, self.dropout,
+            norm_eps=self.norm_eps, name="attn",
+        )(y, None, train=train)
+        y = y.reshape(b, t, self.num_spks, f).transpose(0, 2, 1, 3)
+        y = y.reshape(bs, t, f)
+        return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
+                    name="gcfn")(y, train=train)
+
+
+class DownConvLayer(nn.Module):
+    """Depthwise k5 stride-2 downsampling + BatchNorm + GELU
+    (module.py:66-83).  Halves the time axis."""
+
+    dim: int
+    kernel_size: int = 5
+    norm_eps: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = DepthwiseConv1d(
+            self.kernel_size, stride=2,
+            padding=(self.kernel_size - 1) // 2, name="conv",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9,
+            epsilon=self.norm_eps, name="bn",
+        )(y)
+        return gelu_exact(y)
+
+
+class SpkSplitStage(nn.Module):
+    """Early speaker split in the latent (module.py:110-125).
+
+    1x1 conv F->4F*spks, GLU over channels, 1x1 conv -> F*spks, reshape
+    [B, T, spks*F] -> [B*spks, T, F] (speaker-major channel blocks, matching
+    the reference's view(B*spks, F, T)), then GroupNorm(1, F, eps=1e-8).
+    """
+
+    dim: int
+    num_spks: int
+    group_norm_eps: float = 1.0e-8
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, f = x.shape
+        y = TorchLinear(4 * self.dim * self.num_spks, name="proj_in")(x)
+        y = glu_last(y)
+        y = TorchLinear(self.dim * self.num_spks, name="proj_out")(y)
+        y = y.reshape(b, t, self.num_spks, self.dim)
+        y = y.transpose(0, 2, 1, 3).reshape(b * self.num_spks, t, self.dim)
+        return nn.GroupNorm(
+            num_groups=1, epsilon=self.group_norm_eps, name="norm"
+        )(y)

@@ -1,0 +1,71 @@
+"""Model shape/structure tests (tiny configs for CPU speed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sepreformer_tpu.config import ModelConfig, get_variant
+from sepreformer_tpu.models import SepReformer
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        num_stages=2, num_spks=2, enc_dim=16, enc_kernel=16, enc_stride=4,
+        feat_dim=16, num_heads=2, pos_maxlen=64, local_kernel=9, down_kernel=5,
+        dropout=0.0,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_forward_shapes():
+    cfg = tiny_cfg()
+    model = SepReformer(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 800)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    audio, aux = model.apply(variables, x)
+    assert audio.shape == (cfg.num_spks, 2, 800)
+    assert aux.shape == (cfg.num_stages, cfg.num_spks, 2, 800)
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_frames_math():
+    cfg = tiny_cfg()
+    assert cfg.frames_for_samples(800) == (800 - 16) // 4 + 1
+    assert cfg.padded_frames(197) == 200  # multiple of 2**2
+    assert cfg.padded_frames(200) == 200  # already divisible: no pad
+
+
+def test_train_mode_runs_with_dropout_and_bn():
+    cfg = tiny_cfg(dropout=0.1)
+    model = SepReformer(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 800)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    (audio, aux), mutated = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.key(1)},
+        mutable=["batch_stats"],
+    )
+    assert "batch_stats" in mutated
+    assert audio.shape == (2, 2, 800)
+
+
+def test_base_param_count_matches_paper():
+    """SepReformer-B is 14.2M params (BASELINE.md / paper result table)."""
+    cfg = get_variant("SepReformer_Base_WSJ0").model
+    model = SepReformer(cfg)
+    x = jnp.zeros((1, 1600), jnp.float32)
+    variables = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    n = sum(np.prod(v.shape) for v in jax.tree.leaves(variables["params"]))
+    assert 13.5e6 < n < 15.0e6, f"param count {n}"
+
+
+def test_per_stage_spk_split_variant():
+    cfg = tiny_cfg(per_stage_spk_split=True)
+    model = SepReformer(cfg)
+    x = jnp.zeros((1, 800), jnp.float32)
+    variables = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    names = set(variables["params"]["separator"].keys())
+    assert "spk_split_0" in names and "spk_split_2" in names
+    assert "spk_split" not in names
