@@ -43,6 +43,10 @@ class ModelConfig:
     # numerics
     norm_eps: float = 1.0e-5      # LayerNorm/BatchNorm eps (torch default)
     group_norm_eps: float = 1.0e-8  # GroupNorm eps (module.py:29,124)
+    # global-attention implementation: "auto" (Pallas flash kernel on TPU
+    # for deterministic passes, XLA elsewhere), "xla", "pallas", or
+    # "pallas_interpret" (testing)
+    attention_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:

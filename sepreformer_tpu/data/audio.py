@@ -21,7 +21,22 @@ def read_wav(path: str, sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
 
     Multi-channel audio is averaged to mono (librosa.load default).
     If ``sr`` is given and differs from the file rate, resamples.
+    Uses the native C++ decoder when available (GIL-free, thread-pooled
+    batch path in sepreformer_tpu.native); falls back to scipy.
     """
+    try:
+        from sepreformer_tpu.native.wav import read_wav_native
+
+        native = read_wav_native(path)
+    except Exception:
+        native = None
+    if native is not None:
+        x, rate = native
+        if sr is not None and sr != rate:
+            x = resample(x, rate, sr)
+            rate = sr
+        return x, rate
+
     from scipy.io import wavfile
 
     rate, data = wavfile.read(path)

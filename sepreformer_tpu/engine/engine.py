@@ -1,0 +1,297 @@
+"""Run-loop engine: train / test / test_save / infer_sample.
+
+Reproduces the reference Engine's observable behavior
+(models/<VARIANT>/engine.py) on top of jitted steps:
+
+- auto-resume from the latest ``epoch.NNNN`` checkpoint (engine.py:30-36)
+- warmup LR stepped per-iteration during epoch 1 only (engine.py:61)
+- plateau LR on valid loss for epoch > start_scheduling (engine.py:201)
+- progressive aux-loss weighting alpha (engine.py:72)
+- inline test at ``test_epochs`` (engine.py:204-208)
+- best-checkpoint saving (proper best tracking; the reference resets its
+  best-loss each epoch — engine.py:194 — a quirk we do not replicate)
+- per-utterance metric CSVs during test (engine.py:118-136)
+- ``test_save`` writes peak-normalized (x0.5) wavs (engine.py:137-144)
+- ``infer_sample`` pads to an encoder-stride multiple and writes x0.9
+  peak-normalized in/out wavs (engine.py:152-172)
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sepreformer_tpu.config import VariantConfig
+from sepreformer_tpu.data.audio import peak_normalize, read_wav, write_wav
+from sepreformer_tpu.data.dataset import DataLoader
+from sepreformer_tpu.engine.checkpoint import (
+    latest_epoch,
+    load_checkpoint,
+    save_checkpoint,
+)
+from sepreformer_tpu.engine.lr_control import LRController
+from sepreformer_tpu.engine.train import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_forward_fn,
+    make_train_step,
+)
+from sepreformer_tpu.losses import progressive_alpha
+from sepreformer_tpu.metrics import pit_sisnri_np, sdri_np
+
+log = logging.getLogger("sepreformer_tpu")
+
+
+def apply_cmvn(x: np.ndarray) -> np.ndarray:
+    """Per-utterance mean/variance normalization (utils/functions.py:1-4),
+    applied when engine.mvn is set (engine.py:57)."""
+    return (x - x.mean(axis=-1, keepdims=True)) / (
+        x.std(axis=-1, keepdims=True) + 1e-8
+    )
+
+
+class Engine:
+    """Epoch driver.  ``workdir`` plays the role of the reference's
+    model directory (checkpoints under ``<workdir>/log/scratch_weights``)."""
+
+    def __init__(
+        self,
+        cfg: VariantConfig,
+        workdir: str,
+        dataloaders: Optional[Dict[str, DataLoader]] = None,
+        seed: int = 0,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.loaders = dataloaders or {}
+        self.mesh = mesh
+        os.makedirs(workdir, exist_ok=True)
+
+        # checkpoint dir selection (engine.py:30-35): prefer pretrain dir
+        # when it contains checkpoints
+        pretrain = os.path.join(workdir, "log", "pretrain_weights")
+        scratch = os.path.join(workdir, "log", "scratch_weights")
+        self.ckpt_dir = pretrain if latest_epoch(pretrain) is not None else scratch
+
+        self.rng = jax.random.key(seed)
+        self.state = create_train_state(cfg, self.rng)
+        self.lr_ctl = LRController(
+            base_lr=cfg.optim.lr,
+            warmup_steps=cfg.optim.warmup_steps,
+            plateau_factor=cfg.optim.plateau_factor,
+            plateau_patience=cfg.optim.plateau_patience,
+            min_lr=cfg.optim.plateau_min_lr,
+        )
+        self.start_epoch = 1
+        restored = load_checkpoint(self.ckpt_dir, self.state)
+        if restored is not None:
+            self.state, extra, ep = restored
+            self.lr_ctl.load_state_dict(extra.get("lr_ctl", {}))
+            self.start_epoch = ep + 1
+            log.info("resumed from epoch %d (%s)", ep, self.ckpt_dir)
+
+        self.train_step = make_train_step(cfg)
+        self.eval_step = make_eval_step(cfg)
+        self.forward = make_forward_fn(cfg)
+        self.best_valid = float("inf")
+        self._writer = None
+
+        # multi-chip: shard state over the mesh; batches follow in _prep
+        self._batch_sharding = None
+        self._sources_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from sepreformer_tpu.parallel.mesh import (
+                batch_spec,
+                shard_train_state,
+                sources_spec,
+            )
+
+            model_size = cfg.sharding.model_parallel_size
+            self.state = shard_train_state(self.state, mesh, model_size)
+            self._batch_sharding = NamedSharding(mesh, batch_spec())
+            self._sources_sharding = NamedSharding(mesh, sources_spec())
+
+    # -- helpers -----------------------------------------------------------
+
+    def _tb(self):
+        if self._writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(
+                    os.path.join(self.workdir, "log", "tensorboard")
+                )
+            except Exception:  # tensorboard optional
+                self._writer = False
+        return self._writer or None
+
+    def _prep(self, batch):
+        mix = batch.mixture
+        if self.cfg.engine.mvn:
+            mix = apply_cmvn(mix)
+        mix = jnp.asarray(mix)
+        src = jnp.asarray(batch.sources)
+        if self._batch_sharding is not None:
+            mix = jax.device_put(mix, self._batch_sharding)
+            src = jax.device_put(src, self._sources_sharding)
+        return mix, src
+
+    # -- phases ------------------------------------------------------------
+
+    def _train_epoch(self, epoch: int) -> Dict[str, float]:
+        loader = self.loaders["train"]
+        loader.set_epoch(epoch)
+        alpha = progressive_alpha(
+            epoch,
+            self.cfg.criterion.alpha,
+            self.cfg.criterion.alpha_decay_start_epoch,
+            self.cfg.criterion.alpha_decay_factor,
+            self.cfg.criterion.alpha_decay_every,
+        )
+        tot_time, tot_mag, n = 0.0, 0.0, 0
+        for batch in loader:
+            if epoch == 1:
+                self.lr_ctl.warmup_step()  # per-iteration warmup (engine.py:61)
+            mix, src = self._prep(batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(
+                self.state, mix, src,
+                jnp.float32(self.lr_ctl.lr), jnp.float32(alpha), step_rng,
+            )
+            tot_time += float(metrics["time_loss"]) / self.cfg.model.num_spks
+            tot_mag += float(metrics["mag_loss_mean"]) / self.cfg.model.num_spks
+            n += 1
+        return {"time_loss": tot_time / max(1, n), "mag_loss": tot_mag / max(1, n)}
+
+    def _validate(self) -> Dict[str, float]:
+        loader = self.loaders["valid"]
+        tot_time, tot_mag, n = 0.0, 0.0, 0
+        for batch in loader:
+            mix, src = self._prep(batch)
+            metrics = self.eval_step(self.state, mix, src)
+            tot_time += float(metrics["time_loss"]) / self.cfg.model.num_spks
+            tot_mag += float(metrics["mag_loss_mean"]) / self.cfg.model.num_spks
+            n += 1
+        return {"time_loss": tot_time / max(1, n), "mag_loss": tot_mag / max(1, n)}
+
+    def _test(self, wav_dir: Optional[str] = None, compute_sdr: bool = True):
+        """Per-utterance SI-SNRi (+SDRi) with CSV dumps (engine.py:113-149).
+
+        Metrics run on host at true length in float64.
+        """
+        loader = self.loaders["test"]
+        rows_sisnr, rows_sdr = [], []
+        tot_sisnri, tot_sdri, n = 0.0, 0.0, 0
+        for batch in loader:
+            assert batch.batch_size == 1, "test requires batch size 1"
+            mix, _ = self._prep(batch)
+            audio = np.asarray(self.forward(self.state.params,
+                                            self.state.batch_stats, mix))
+            t = int(batch.input_sizes[0])
+            key = batch.keys[0]
+            est = audio[:, 0, :t]
+            src = batch.sources[:, 0, :t]
+            mixture = batch.mixture[0, :t]
+            mean_i, per_src = pit_sisnri_np(est, src, mixture)
+            rows_sisnr.append([key, mean_i, *per_src])
+            tot_sisnri += mean_i
+            if compute_sdr:
+                mean_s, per_s = sdri_np(est, src, mixture)
+                rows_sdr.append([key, mean_s, *per_s])
+                tot_sdri += mean_s
+            if wav_dir:
+                os.makedirs(wav_dir, exist_ok=True)
+                write_wav(os.path.join(wav_dir, f"{key}_mix.wav"),
+                          peak_normalize(mixture, 0.5),
+                          self.cfg.dataset.sampling_rate)
+                for i in range(est.shape[0]):
+                    write_wav(os.path.join(wav_dir, f"{key}_spk{i+1}.wav"),
+                              peak_normalize(est[i], 0.5),
+                              self.cfg.dataset.sampling_rate)
+            n += 1
+        for name, rows in [("test_SISNRi_value.csv", rows_sisnr),
+                           ("test_SDRi_value.csv", rows_sdr)]:
+            if rows:
+                with open(os.path.join(self.workdir, name), "w", newline="") as f:
+                    csv.writer(f).writerows(rows)
+        out = {"sisnri": tot_sisnri / max(1, n)}
+        if compute_sdr:
+            out["sdri"] = tot_sdri / max(1, n)
+        log.info("test: %s over %d utterances", out, n)
+        return out
+
+    def infer_sample(self, sample_file: str, out_dir: Optional[str] = None):
+        """Separate one wav file (engine.py:152-172)."""
+        out_dir = out_dir or os.path.dirname(os.path.abspath(sample_file))
+        wav, sr = read_wav(sample_file, sr=self.cfg.dataset.sampling_rate)
+        t = len(wav)
+        stride = self.cfg.model.enc_stride
+        pad = (-t) % stride
+        x = np.pad(wav, (0, pad))[None].astype(np.float32)
+        audio = np.asarray(
+            self.forward(self.state.params, self.state.batch_stats,
+                         jnp.asarray(x))
+        )[:, 0, :t]
+        stem = os.path.splitext(os.path.basename(sample_file))[0]
+        os.makedirs(out_dir, exist_ok=True)
+        write_wav(os.path.join(out_dir, f"{stem}_in.wav"),
+                  peak_normalize(wav, 0.9), sr)
+        outs = []
+        for i in range(audio.shape[0]):
+            p = os.path.join(out_dir, f"{stem}_out_{i}.wav")
+            write_wav(p, peak_normalize(audio[i], 0.9), sr)
+            outs.append(p)
+        return outs
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self, engine_mode: str = "train",
+            out_wav_dir: Optional[str] = None) -> Dict[str, Any]:
+        if "test" in engine_mode:
+            return self._test(
+                wav_dir=(out_wav_dir or os.path.join(self.workdir, "wav_out"))
+                if engine_mode == "test_save" else None
+            )
+        history = []
+        for epoch in range(self.start_epoch, self.cfg.engine.max_epoch):
+            t0 = time.time()
+            train_m = self._train_epoch(epoch)
+            valid_m = self._validate()
+            valid_loss = valid_m["time_loss"]
+            if epoch > self.cfg.engine.start_scheduling:
+                self.lr_ctl.plateau_step(valid_loss)
+            if epoch in self.cfg.engine.test_epochs and "test" in self.loaders:
+                self._test(compute_sdr=False)
+            if valid_loss < self.best_valid:
+                self.best_valid = valid_loss
+                save_checkpoint(
+                    self.ckpt_dir, epoch, self.state,
+                    extra={
+                        "lr_ctl": self.lr_ctl.state_dict(),
+                        "train_loss": train_m["time_loss"],
+                        "valid_loss": valid_loss,
+                    },
+                )
+            writer = self._tb()
+            if writer:
+                writer.add_scalar("Loss_train", train_m["time_loss"], epoch)
+                writer.add_scalar("Loss_valid", valid_loss, epoch)
+                writer.add_scalar("LR", self.lr_ctl.lr, epoch)
+            log.info(
+                "epoch %d: train %.4f valid %.4f lr %.2e (%.1fs)",
+                epoch, train_m["time_loss"], valid_loss, self.lr_ctl.lr,
+                time.time() - t0,
+            )
+            history.append({"epoch": epoch, **train_m, "valid": valid_loss})
+        return {"history": history}

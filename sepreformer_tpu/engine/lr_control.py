@@ -53,14 +53,16 @@ class LRController:
         else:
             self.num_bad_epochs += 1
         if self.num_bad_epochs > self.plateau_patience:
-            self.plateau_scale *= self.plateau_factor
+            # torch clamps the decayed LR at min_lr, not the warmup ramp
+            self.plateau_scale = max(
+                self.plateau_scale * self.plateau_factor,
+                self.min_lr / self.base_lr,
+            )
             self.num_bad_epochs = 0
 
     @property
     def lr(self) -> float:
-        return max(
-            self.min_lr, self.base_lr * self.warmup_factor * self.plateau_scale
-        )
+        return self.base_lr * self.warmup_factor * self.plateau_scale
 
     def state_dict(self) -> Dict:
         return {

@@ -53,17 +53,28 @@ def create_train_state(
     rng: jax.Array,
     sample_len: Optional[int] = None,
 ) -> TrainState:
+    """Initialize model + optimizer state.
+
+    Fully jitted: on accelerators behind a dispatch tunnel (axon), eager
+    initialization issues thousands of individual device calls; one
+    compiled program avoids that.
+    """
     model = SepReformer(cfg.model)
     sample_len = sample_len or cfg.dataset.max_len
-    x = jnp.zeros((1, sample_len), jnp.float32)
-    variables = model.init(rng, x)
     tx = make_optimizer(cfg)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", FrozenDict()),
-        opt_state=tx.init(variables["params"]),
-    )
+
+    @jax.jit
+    def init(rng):
+        x = jnp.zeros((1, sample_len), jnp.float32)
+        variables = model.init(rng, x)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            opt_state=tx.init(variables["params"]),
+        )
+
+    return init(rng)
 
 
 def compute_losses(

@@ -68,18 +68,18 @@ def _compute_projections(ref: np.ndarray, est: np.ndarray, flen: int):
     rf = np.fft.rfft(ref, n=n_fft, axis=1)
     ef = np.fft.rfft(est, n=n_fft)
 
-    # cross-correlations ref_i * est (time lags 0..flen-1)
-    g_re = np.fft.irfft(rf * np.conj(ef)[None, :], n=n_fft, axis=1)[:, :flen]
-    # autocorrelation blocks G[i, j, tau] between refs
+    # d[i, tau] = <est, ref_i(. - tau)> = r_{ref_i, est}[tau], lags 0..flen-1
+    g_re = np.fft.irfft(np.conj(rf) * ef[None, :], n=n_fft, axis=1)[:, :flen]
+    # G blocks: G_ij[a, b] = <ref_i(.-a), ref_j(.-b)> = r_{ref_i, ref_j}[a-b]
+    from scipy.linalg import toeplitz
+
     big_g = np.zeros((s * flen, s * flen))
     for i in range(s):
         for j in range(i, s):
-            cc = np.fft.irfft(rf[i] * np.conj(rf[j]), n=n_fft)
-            # toeplitz block: G[a, b] = corr(tau = a - b)
-            col = np.concatenate([cc[:1], cc[-(flen - 1):][::-1]])
-            from scipy.linalg import toeplitz
-
-            block = toeplitz(col, cc[:flen])
+            cc = np.fft.irfft(np.conj(rf[i]) * rf[j], n=n_fft)
+            col = cc[:flen]                                     # a - b >= 0
+            row = np.concatenate([cc[:1], cc[-(flen - 1):][::-1]])  # a-b <= 0
+            block = toeplitz(col, row)
             big_g[i * flen:(i + 1) * flen, j * flen:(j + 1) * flen] = block
             if i != j:
                 big_g[j * flen:(j + 1) * flen, i * flen:(i + 1) * flen] = block.T

@@ -16,12 +16,32 @@ Linear/Conv, N(0,1) for Embedding) so training dynamics are comparable.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+
+class RelPos(NamedTuple):
+    """Relative-position context handed to global-attention blocks.
+
+    table: [2*maxlen, head_dim] embedding table (the raw parameter);
+    length: bottleneck length every EGA pools to (module.py:196-198);
+    maxlen: clamp range; impl: attention implementation selector.
+    """
+
+    table: jnp.ndarray
+    length: int
+    maxlen: int
+    impl: str = "auto"
+
+
+def resolve_attention_impl(impl: str) -> str:
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
 
 
 def torch_uniform_init(fan_in: int):
@@ -153,7 +173,7 @@ class MultiHeadAttention(nn.Module):
     norm_eps: float = 1.0e-5
 
     @nn.compact
-    def __call__(self, x, pos_k: Optional[jnp.ndarray] = None, *, train: bool = False):
+    def __call__(self, x, pos: Optional["RelPos"] = None, *, train: bool = False):
         b, t, _ = x.shape
         h = self.num_heads
         d = self.dim // h
@@ -161,21 +181,51 @@ class MultiHeadAttention(nn.Module):
         q = TorchLinear(self.dim, name="q")(y).reshape(b, t, h, d)
         k = TorchLinear(self.dim, name="k")(y).reshape(b, t, h, d)
         v = TorchLinear(self.dim, name="v")(y).reshape(b, t, h, d)
-        scores = jnp.einsum(
-            "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
+
+        impl = resolve_attention_impl(pos.impl) if pos is not None else "xla"
+        # the Pallas kernel has no attention-prob dropout; use it only for
+        # deterministic passes (inference/eval) or dropout-free models
+        use_flash = (
+            pos is not None
+            and impl in ("pallas", "pallas_interpret")
+            and (not train or self.dropout == 0.0)
         )
-        if pos_k is not None:
-            # pos_k: [T, T, d] rel-pos key table shared across batch/heads
-            scores = scores + jnp.einsum(
-                "bihd,ijd->bhij", q, pos_k.astype(q.dtype),
-                preferred_element_type=jnp.float32,
+        if use_flash:
+            from sepreformer_tpu.ops.pallas.attention import (
+                flash_relpos_attention,
             )
-        scores = scores / math.sqrt(d)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum(
-            "bhij,bjhd->bihd", attn, v, preferred_element_type=x.dtype
-        ).reshape(b, t, self.dim)
+
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            out = flash_relpos_attention(
+                qh, kh, vh, pos.table.astype(x.dtype), pos.maxlen,
+                impl == "pallas_interpret",
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        else:
+            scores = jnp.einsum(
+                "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
+            )
+            if pos is not None:
+                # gather the [T, T, d] rel-pos table (module.py:196-198)
+                pidx = np.arange(t)
+                rel = np.clip(
+                    pidx[:, None] - pidx[None, :], -pos.maxlen, pos.maxlen - 1
+                ) + pos.maxlen
+                pos_k = jnp.take(pos.table, jnp.asarray(rel, jnp.int32), axis=0)
+                scores = scores + jnp.einsum(
+                    "bihd,ijd->bhij", q, pos_k.astype(q.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            scores = scores / math.sqrt(d)
+            attn = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=-1
+            ).astype(x.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum(
+                "bhij,bjhd->bihd", attn, v, preferred_element_type=x.dtype
+            ).reshape(b, t, self.dim)
         out = TorchLinear(self.dim, name="out")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(out)
@@ -196,19 +246,19 @@ class EGA(nn.Module):
     norm_eps: float = 1.0e-5
 
     @nn.compact
-    def __call__(self, x, pos_k, *, train: bool = False):
+    def __call__(self, x, pos: "RelPos", *, train: bool = False):
         from sepreformer_tpu.ops.resample import (
             adaptive_avg_pool_time,
             nearest_upsample_time,
         )
 
         t = x.shape[1]
-        down_len = pos_k.shape[0]
+        down_len = pos.length
         x_down = adaptive_avg_pool_time(x, down_len)
         x_down = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout,
             norm_eps=self.norm_eps, name="attn",
-        )(x_down, pos_k, train=train)
+        )(x_down, pos, train=train)
         x_up = nearest_upsample_time(x_down, t)
         gate = nn.LayerNorm(epsilon=self.norm_eps, name="gate_norm")(x)
         gate = jax.nn.sigmoid(TorchLinear(self.dim, name="gate_proj")(gate))

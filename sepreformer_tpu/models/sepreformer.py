@@ -87,15 +87,17 @@ class RelativePositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, length: int):
+        from sepreformer_tpu.models.blocks import RelPos
+
         cfg = self.cfg
         table = self.param(
             "pe_k", nn.initializers.normal(1.0),
             (2 * cfg.pos_maxlen, cfg.head_dim),
         )
-        pos = np.arange(length)
-        rel = pos[:, None] - pos[None, :]
-        rel = np.clip(rel, -cfg.pos_maxlen, cfg.pos_maxlen - 1) + cfg.pos_maxlen
-        return jnp.take(table, jnp.asarray(rel, dtype=jnp.int32), axis=0)
+        return RelPos(
+            table=table, length=length, maxlen=cfg.pos_maxlen,
+            impl=cfg.attention_impl,
+        )
 
 
 class SepEncStage(nn.Module):

@@ -23,6 +23,11 @@ import jax  # noqa: E402
 # the env var alone does not win; the config holder does.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is dominated by XLA CPU compiles of tiny models; persist them.
+_CACHE = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,104 @@
+"""Engine integration tests on a tiny variant + synthetic corpus."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from sepreformer_tpu.config import (
+    DatasetConfig,
+    EngineConfig,
+    ModelConfig,
+    OptimConfig,
+    VariantConfig,
+)
+from sepreformer_tpu.data.dataset import build_dataloaders
+from sepreformer_tpu.engine.engine import Engine
+from sepreformer_tpu.engine.lr_control import LRController
+
+from test_data import _make_corpus
+
+
+def tiny_variant(scp_root, max_len=4000, **engine_kw):
+    return VariantConfig(
+        name="tiny",
+        model=ModelConfig(
+            num_stages=2, num_spks=2, enc_dim=16, enc_kernel=16, enc_stride=4,
+            feat_dim=16, num_heads=2, pos_maxlen=64, local_kernel=9,
+            down_kernel=5, dropout=0.0,
+        ),
+        optim=OptimConfig(lr=1e-3, warmup_steps=4),
+        dataset=DatasetConfig(scp_dir="scp", max_len=max_len, batch_size=2),
+        engine=EngineConfig(max_epoch=3, start_scheduling=0, test_epochs=(),
+                            **engine_kw),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return _make_corpus(tmp_path_factory.mktemp("corpus"),
+                        n=4, length_range=(6000, 9000))
+
+
+def test_train_two_epochs_and_resume(corpus, tmp_path):
+    cfg = tiny_variant(corpus)
+    loaders = build_dataloaders(cfg.dataset, "train", scp_root=corpus)
+    workdir = str(tmp_path / "work")
+    engine = Engine(cfg, workdir, loaders)
+    result = engine.run("train")
+    hist = result["history"]
+    assert len(hist) == 2  # epochs 1..max_epoch-1 (engine.py:193 semantics)
+    assert all(np.isfinite(h["time_loss"]) for h in hist)
+    # a checkpoint was saved and a new engine resumes past it
+    engine2 = Engine(cfg, workdir, loaders)
+    assert engine2.start_epoch > 1
+
+
+def test_test_mode_writes_csv(corpus, tmp_path):
+    cfg = tiny_variant(corpus)
+    loaders = build_dataloaders(cfg.dataset, "test", scp_root=corpus)
+    workdir = str(tmp_path / "work")
+    engine = Engine(cfg, workdir, loaders)
+    out = engine._test(compute_sdr=False)
+    assert np.isfinite(out["sisnri"])
+    assert os.path.exists(os.path.join(workdir, "test_SISNRi_value.csv"))
+
+
+def test_infer_sample_writes_wavs(corpus, tmp_path):
+    from sepreformer_tpu.data.audio import write_wav
+
+    cfg = tiny_variant(corpus)
+    engine = Engine(cfg, str(tmp_path / "work"), {})
+    wav = np.random.default_rng(0).normal(scale=0.1, size=7001).astype(np.float32)
+    sample = str(tmp_path / "sample.wav")
+    write_wav(sample, wav, 8000)
+    outs = engine.infer_sample(sample, str(tmp_path / "out"))
+    assert len(outs) == 2
+    assert all(os.path.exists(p) for p in outs)
+
+
+def test_lr_controller_semantics():
+    ctl = LRController(base_lr=1.0, warmup_steps=10, plateau_factor=0.5,
+                       plateau_patience=1, min_lr=1e-10)
+    assert ctl.lr == 0.0  # before any warmup step
+    for _ in range(5):
+        ctl.warmup_step()
+    assert abs(ctl.lr - 0.5) < 1e-9
+    for _ in range(10):
+        ctl.warmup_step()
+    assert ctl.lr == 1.0
+    # plateau: first value sets best; repeats past patience decay
+    ctl.plateau_step(1.0)
+    assert ctl.plateau_scale == 1.0
+    ctl.plateau_step(1.0)   # bad 1 (<= patience)
+    assert ctl.plateau_scale == 1.0
+    ctl.plateau_step(1.0)   # bad 2 -> decay
+    assert ctl.plateau_scale == 0.5
+    # roundtrip
+    d = ctl.state_dict()
+    ctl2 = LRController(1.0, 10, 0.5, 1, 1e-10)
+    ctl2.load_state_dict(d)
+    assert ctl2.lr == ctl.lr
