@@ -2,17 +2,19 @@
 
 Primary metric: inference throughput in audio-seconds processed per second
 per chip on SepReformer-B (the reference publishes no throughput numbers —
-BASELINE.md — so ``vs_baseline`` is the real-time factor: value / 1x
-real-time playback).
+BASELINE.md — so ``vs_baseline`` is the real-time factor).
 
-Runs on whatever accelerator the default environment exposes (the real TPU
-chip under the driver).  Extra metrics (train step throughput, compile
-times) go into the same JSON object.
+Measurement method: N forward (resp. train) steps are CHAINED inside one
+jitted program with a data dependency between iterations, so the reported
+time is true device compute — on this container's axon tunnel,
+``block_until_ready`` returns before execution finishes and naive loops
+measure dispatch latency (up to 100x optimistic).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
@@ -22,8 +24,6 @@ def main() -> None:
     # persist compiled executables across bench runs: the full train-step
     # compile takes minutes over the axon tunnel, the cache makes reruns
     # seconds
-    import os
-
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -33,7 +33,11 @@ def main() -> None:
     import numpy as np
 
     from sepreformer_tpu.config import get_variant
-    from sepreformer_tpu.engine.train import create_train_state, make_train_step
+    from sepreformer_tpu.engine.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
     from sepreformer_tpu.models import SepReformer
 
     platform = jax.default_backend()
@@ -42,6 +46,7 @@ def main() -> None:
     sr = variant.dataset.sampling_rate
 
     batch, t_samples = 4, 32000  # 4 x 4 s = 16 audio-seconds per step
+    n_chain = 20
     audio_seconds = batch * t_samples / sr
 
     rng = np.random.default_rng(0)
@@ -49,65 +54,87 @@ def main() -> None:
 
     model = SepReformer(cfg)
     t0 = time.perf_counter()
-    variables = jax.jit(model.init)(jax.random.key(0), x[:1])
+    variables = jax.jit(model.init)(jax.random.key(0), x[:1, :16000])
     jax.block_until_ready(variables)
     init_time = time.perf_counter() - t0
 
+    # ---- inference: chained forwards --------------------------------------
     @jax.jit
-    def forward(variables, x):
-        audio, _ = model.apply(variables, x)
-        return audio
+    def infer_chain(variables, x):
+        def body(i, x):
+            audio, _ = model.apply(variables, x)
+            return x + 1e-6 * audio.sum(axis=0)
+        return jax.lax.fori_loop(0, n_chain, body, x).sum()
 
     t0 = time.perf_counter()
-    out = forward(variables, x)
-    jax.block_until_ready(out)
+    float(infer_chain(variables, x))
     compile_time = time.perf_counter() - t0
-
-    n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(variables, x)
-    jax.block_until_ready(out)
-    infer_step = (time.perf_counter() - t0) / n_iters
+    float(infer_chain(variables, x))
+    infer_step = (time.perf_counter() - t0) / n_chain
     infer_throughput = audio_seconds / infer_step
 
-    # train step throughput
+    # FLOPs from the compiler for utilization reporting
+    flops = None
+    try:
+        fwd = jax.jit(lambda v, x: model.apply(v, x)[0])
+        ca = fwd.lower(variables, x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+
+    # ---- training: chained train steps ------------------------------------
     state = create_train_state(variant, jax.random.key(0), sample_len=t_samples)
     train_step = make_train_step(variant, donate=False)
     src = jnp.stack([x * 0.5, x * 0.5])
     lr, alpha = jnp.float32(1e-3), jnp.float32(0.4)
-    key = jax.random.key(1)
+
+    n_train_chain = 5
+
+    @jax.jit
+    def train_chain(state, x, src):
+        def body(i, state):
+            new_state, _ = train_step(
+                state, x, src, lr, alpha, jax.random.fold_in(jax.random.key(1), i)
+            )
+            return new_state
+        final = jax.lax.fori_loop(0, n_train_chain, body, state)
+        return jax.tree.leaves(final.params)[0].sum()
+
     t0 = time.perf_counter()
-    state2, metrics = train_step(state, x, src, lr, alpha, key)
-    jax.block_until_ready(state2.params)
+    float(train_chain(state, x, src))
     train_compile_time = time.perf_counter() - t0
-    n_train = 5
     t0 = time.perf_counter()
-    for _ in range(n_train):
-        state2, metrics = train_step(state2, x, src, lr, alpha, key)
-    jax.block_until_ready(state2.params)
-    train_step_time = (time.perf_counter() - t0) / n_train
+    float(train_chain(state, x, src))
+    train_step_time = (time.perf_counter() - t0) / n_train_chain
     train_throughput = audio_seconds / train_step_time
 
-    result = {
+    extras = {
+        "platform": platform,
+        "model": "SepReformer_Base_WSJ0",
+        "batch": batch,
+        "segment_seconds": t_samples / sr,
+        "infer_step_ms": round(infer_step * 1e3, 2),
+        "train_audio_seconds_per_second_per_chip": round(train_throughput, 2),
+        "train_step_ms": round(train_step_time * 1e3, 2),
+        "init_s": round(init_time, 2),
+        "infer_compile_s": round(compile_time, 2),
+        "train_compile_s": round(train_compile_time, 2),
+        "measurement": f"chained x{n_chain} (data-dependent fori_loop)",
+    }
+    if flops:
+        extras["fwd_gflops"] = round(flops / 1e9, 1)
+        extras["achieved_tflops"] = round(flops / infer_step / 1e12, 2)
+
+    print(json.dumps({
         "metric": "infer_audio_seconds_per_second_per_chip",
         "value": round(infer_throughput, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(infer_throughput, 2),  # baseline = 1x real-time
-        "extras": {
-            "platform": platform,
-            "model": "SepReformer_Base_WSJ0",
-            "batch": batch,
-            "segment_seconds": t_samples / sr,
-            "infer_step_ms": round(infer_step * 1e3, 2),
-            "train_audio_seconds_per_second_per_chip": round(train_throughput, 2),
-            "train_step_ms": round(train_step_time * 1e3, 2),
-            "init_s": round(init_time, 2),
-            "infer_compile_s": round(compile_time, 2),
-            "train_compile_s": round(train_compile_time, 2),
-        },
-    }
-    print(json.dumps(result))
+        "extras": extras,
+    }))
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ class ModelConfig:
     # for deterministic passes, XLA elsewhere), "xla", "pallas", or
     # "pallas_interpret" (testing)
     attention_impl: str = "auto"
+    # activation dtype policy: "float32" or "bfloat16".  Params stay f32;
+    # norms compute statistics in f32 and cast back; softmax in f32; the
+    # waveform outputs are cast back to f32 before losses/metrics.
+    compute_dtype: str = "float32"
 
     @property
     def head_dim(self) -> int:

@@ -149,7 +149,7 @@ class GCFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x).astype(x.dtype)
         y = TorchLinear(self.dim * 6, name="proj_in")(y)
         y = DepthwiseConv1d(3, padding=1, name="depthwise")(y)
         y = glu_last(y)
@@ -177,7 +177,7 @@ class MultiHeadAttention(nn.Module):
         b, t, _ = x.shape
         h = self.num_heads
         d = self.dim // h
-        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x).astype(x.dtype)
         q = TorchLinear(self.dim, name="q")(y).reshape(b, t, h, d)
         k = TorchLinear(self.dim, name="k")(y).reshape(b, t, h, d)
         v = TorchLinear(self.dim, name="v")(y).reshape(b, t, h, d)
@@ -260,7 +260,7 @@ class EGA(nn.Module):
             norm_eps=self.norm_eps, name="attn",
         )(x_down, pos, train=train)
         x_up = nearest_upsample_time(x_down, t)
-        gate = nn.LayerNorm(epsilon=self.norm_eps, name="gate_norm")(x)
+        gate = nn.LayerNorm(epsilon=self.norm_eps, name="gate_norm")(x).astype(x.dtype)
         gate = jax.nn.sigmoid(TorchLinear(self.dim, name="gate_proj")(gate))
         return x + gate * x_up
 
@@ -280,7 +280,7 @@ class CLA(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x)
+        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x).astype(x.dtype)
         y = TorchLinear(self.dim * 2, name="proj_in")(y)
         y = glu_last(y)
         y = DepthwiseConv1d(self.kernel_size, padding="SAME", name="depthwise")(y)
@@ -288,7 +288,7 @@ class CLA(nn.Module):
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9,
             epsilon=self.norm_eps, name="bn",
-        )(y)
+        )(y).astype(x.dtype)
         y = gelu_exact(y)
         y = TorchLinear(self.dim, name="proj_out")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -373,7 +373,7 @@ class DownConvLayer(nn.Module):
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9,
             epsilon=self.norm_eps, name="bn",
-        )(y)
+        )(y).astype(x.dtype)
         return gelu_exact(y)
 
 
@@ -399,4 +399,4 @@ class SpkSplitStage(nn.Module):
         y = y.transpose(0, 2, 1, 3).reshape(b * self.num_spks, t, self.dim)
         return nn.GroupNorm(
             num_groups=1, epsilon=self.group_norm_eps, name="norm"
-        )(y)
+        )(y).astype(x.dtype)

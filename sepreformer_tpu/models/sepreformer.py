@@ -72,7 +72,7 @@ class FeatureProjector(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        y = nn.GroupNorm(num_groups=1, epsilon=cfg.group_norm_eps, name="norm")(x)
+        y = nn.GroupNorm(num_groups=1, epsilon=cfg.group_norm_eps, name="norm")(x).astype(x.dtype)
         return TorchLinear(cfg.feat_dim, use_bias=False, name="proj")(y)
 
 
@@ -263,6 +263,7 @@ class SepReformer(nn.Module):
     def __call__(self, x, *, train: bool = False):
         cfg = self.cfg
         t_samples = x.shape[-1]
+        x = x.astype(jnp.dtype(cfg.compute_dtype))
         enc = AudioEncoder(cfg, name="audio_encoder")(x)
         proj = FeatureProjector(cfg, name="feature_projector")(enc)
         last, stage_outs = Separator(cfg, name="separator")(proj, train=train)
@@ -284,4 +285,5 @@ class SepReformer(nn.Module):
                     [dec(o[j])[..., :t_samples] for j in range(cfg.num_spks)]
                 )
             )
-        return audio, jnp.stack(aux)
+        # losses/metrics always run in f32 regardless of compute dtype
+        return audio.astype(jnp.float32), jnp.stack(aux).astype(jnp.float32)
