@@ -41,7 +41,9 @@ class LRController:
 
     @property
     def warmup_factor(self) -> float:
-        return min(1.0, self.warmup_count / max(1, self.warmup_steps))
+        if self.warmup_steps <= 0:
+            return 1.0
+        return min(1.0, self.warmup_count / self.warmup_steps)
 
     def plateau_step(self, valid_loss: float) -> None:
         """torch ReduceLROnPlateau(mode=min, threshold_mode=rel)."""

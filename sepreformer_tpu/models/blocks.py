@@ -38,9 +38,15 @@ class RelPos(NamedTuple):
     impl: str = "auto"
 
 
-def resolve_attention_impl(impl: str) -> str:
+def resolve_attention_impl(impl: str, length: int = 0) -> str:
+    """'auto': XLA wins at train-time bottleneck lengths (L~500, measured
+    65 vs 83 ms full-model fwd on v5e — see perf_lab.py); the flash kernel
+    wins once the [B,H,L,L] score tensor gets large (long-utterance eval),
+    so switch on length."""
     if impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu" and length >= 1024:
+            return "pallas"
+        return "xla"
     return impl
 
 
@@ -102,17 +108,34 @@ class DepthwiseConv1d(nn.Module):
         kernel = self.param(
             "kernel", torch_uniform_init(self.kernel_size), (self.kernel_size, 1, c)
         )
+        w = kernel.astype(x.dtype)
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)]
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=(self.stride,),
-            padding=pad,
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=c,
-        )
+        if self.kernel_size <= 8 and self.stride == 1:
+            # small-kernel depthwise == a handful of shifted multiply-adds;
+            # XLA's grouped-conv lowering for this shape was measured at
+            # 1.4 ms per GCFN on v5e while shifts fuse into neighbors
+            if pad == "SAME":
+                lo = (self.kernel_size - 1) // 2
+                hi = self.kernel_size - 1 - lo
+            else:
+                (lo, hi), = pad
+            xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
+            t = x.shape[1]
+            y = None
+            for tap in range(self.kernel_size):
+                term = xp[:, tap : tap + t] * w[tap, 0]
+                y = term if y is None else y + term
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(self.stride,),
+                padding=pad,
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=c,
+            )
         if self.use_bias:
             bias = self.param("bias", torch_uniform_init(self.kernel_size), (c,))
             y = y + bias.astype(x.dtype)
@@ -174,6 +197,13 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos: Optional["RelPos"] = None, *, train: bool = False):
+        if x.ndim == 4:
+            # [B, S, T, F] cross-speaker mode: attention over the S axis,
+            # batched over (B, T) without the reference's reshape to
+            # [B*T, S, F] (seq-len-2 attention tiles terribly on TPU —
+            # 2 sublanes + two full-tensor transposes; measured >2x the
+            # cost of any other block).  Same math, pure VPU elementwise.
+            return self._speaker_axis_attention(x, train=train)
         b, t, _ = x.shape
         h = self.num_heads
         d = self.dim // h
@@ -182,7 +212,9 @@ class MultiHeadAttention(nn.Module):
         k = TorchLinear(self.dim, name="k")(y).reshape(b, t, h, d)
         v = TorchLinear(self.dim, name="v")(y).reshape(b, t, h, d)
 
-        impl = resolve_attention_impl(pos.impl) if pos is not None else "xla"
+        impl = (
+            resolve_attention_impl(pos.impl, t) if pos is not None else "xla"
+        )
         # the Pallas kernel has no attention-prob dropout; use it only for
         # deterministic passes (inference/eval) or dropout-free models
         use_flash = (
@@ -226,6 +258,75 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum(
                 "bhij,bjhd->bihd", attn, v, preferred_element_type=x.dtype
             ).reshape(b, t, self.dim)
+        out = TorchLinear(self.dim, name="out")(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(out)
+
+    def _speaker_axis_attention(self, x, *, train: bool):
+        """x: [B, S, T, F] -> attention over S, numerically identical to
+        running the 3D path on [B*T, S, F] (parameter names shared).
+
+        For S == 2 (every shipped variant) and deterministic passes, the
+        2-way softmax is a sigmoid of the score difference and everything
+        stays in flat [B, T, F] layouts: per-head reductions/expansions go
+        through a static block-diagonal head-pooling matmul.  The generic
+        einsum path triggered a pathological conv lowering with T(2,128)
+        layouts on TPU (~1 ms per block).
+        """
+        b, s, t, f = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x).astype(x.dtype)
+        q = TorchLinear(self.dim, name="q")(y)
+        k = TorchLinear(self.dim, name="k")(y)
+        v = TorchLinear(self.dim, name="v")(y)
+
+        use_fast = s == 2 and (not train or self.dropout == 0.0)
+        if use_fast:
+            # head-pool: [F, H] 0/1 block-diagonal; expand: its transpose
+            pool = jnp.asarray(
+                np.kron(np.eye(h, dtype=np.float32), np.ones((d, 1), np.float32)),
+                x.dtype,
+            )
+            q0, q1 = q[:, 0], q[:, 1]          # [B, T, F]
+            k0, k1 = k[:, 0], k[:, 1]
+            v0, v1 = v[:, 0], v[:, 1]
+            scale = 1.0 / math.sqrt(d)
+
+            def head_scores(qq, kk):
+                return jnp.einsum(
+                    "btf,fh->bth", qq * kk, pool,
+                    preferred_element_type=jnp.float32,
+                ) * scale
+
+            # softmax over the 2 key speakers == sigmoid(score diff)
+            w0_self = jax.nn.sigmoid(head_scores(q0, k0) - head_scores(q0, k1))
+            w1_self = jax.nn.sigmoid(head_scores(q1, k1) - head_scores(q1, k0))
+
+            def expand(w):  # [B, T, H] -> [B, T, F]
+                return jnp.einsum(
+                    "bth,fh->btf", w.astype(x.dtype), pool,
+                    preferred_element_type=x.dtype,
+                )
+
+            e0, e1 = expand(w0_self), expand(w1_self)
+            out0 = e0 * v0 + (1.0 - e0) * v1
+            out1 = e1 * v1 + (1.0 - e1) * v0
+            out = jnp.stack([out0, out1], axis=1)
+        else:
+            qh = q.reshape(b, s, t, h, d)
+            kh = k.reshape(b, s, t, h, d)
+            vh = v.reshape(b, s, t, h, d)
+            scores = jnp.einsum(
+                "bpthd,bqthd->bpqth", qh, kh, preferred_element_type=jnp.float32
+            ) / math.sqrt(d)
+            attn = jax.nn.softmax(
+                scores.astype(jnp.float32), axis=2
+            ).astype(x.dtype)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum(
+                "bpqth,bqthd->bpthd", attn, vh, preferred_element_type=x.dtype
+            ).reshape(b, s, t, f)
         out = TorchLinear(self.dim, name="out")(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(out)
@@ -344,13 +445,13 @@ class SpkAttention(nn.Module):
     def __call__(self, x, *, train: bool = False):
         bs, t, f = x.shape
         b = bs // self.num_spks
+        # transpose-free: [B*S, T, F] -> [B, S, T, F] is a pure reshape;
+        # MHA's speaker-axis mode attends over S batched on (B, T)
         y = x.reshape(b, self.num_spks, t, f)
-        y = y.transpose(0, 2, 1, 3).reshape(b * t, self.num_spks, f)
         y = y + MultiHeadAttention(
             self.dim, self.num_heads, self.dropout,
             norm_eps=self.norm_eps, name="attn",
         )(y, None, train=train)
-        y = y.reshape(b, t, self.num_spks, f).transpose(0, 2, 1, 3)
         y = y.reshape(bs, t, f)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
                     name="gcfn")(y, train=train)
