@@ -47,6 +47,11 @@ class ModelConfig:
     # for deterministic passes, XLA elsewhere), "xla", "pallas", or
     # "pallas_interpret" (testing)
     attention_impl: str = "auto"
+    # fused Pallas GCFN feed-forward: "auto" (on TPU, deterministic
+    # passes), "on", "off", "interpret" (testing).  The 6F-wide FFN
+    # intermediates are the model's main HBM-bandwidth cost; the fused
+    # kernel keeps them in VMEM.
+    fused_ffn: str = "auto"
     # activation dtype policy: "float32" or "bfloat16".  Params stay f32;
     # norms compute statistics in f32 and cast back; softmax in f32; the
     # waveform outputs are cast back to f32 before losses/metrics.

@@ -72,20 +72,32 @@ def glu_last(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class TorchLinear(nn.Module):
-    """Dense with torch-default init (bias bound from fan_in)."""
+    """Dense with torch-default init (bias bound from fan_in).
+
+    ``return_params=True`` materializes and returns (kernel, bias) without
+    computing — used by fused kernels that consume the raw weights while
+    keeping the parameter tree identical (requires ``in_features`` when no
+    input is given).
+    """
 
     features: int
     use_bias: bool = True
+    in_features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
-        fan_in = x.shape[-1]
+    def __call__(self, x=None, *, return_params: bool = False):
+        fan_in = self.in_features if x is None else x.shape[-1]
         kernel = self.param(
             "kernel", torch_uniform_init(fan_in), (fan_in, self.features)
         )
+        bias = (
+            self.param("bias", torch_uniform_init(fan_in), (self.features,))
+            if self.use_bias else None
+        )
+        if return_params:
+            return kernel, bias
         y = jnp.einsum("...i,io->...o", x, kernel.astype(x.dtype))
-        if self.use_bias:
-            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        if bias is not None:
             y = y + bias.astype(x.dtype)
         return y
 
@@ -100,14 +112,21 @@ class DepthwiseConv1d(nn.Module):
     stride: int = 1
     padding: object = "SAME"
     use_bias: bool = True
+    features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
+    def __call__(self, x=None, *, return_params: bool = False):
+        c = self.features if x is None else x.shape[-1]
         # fan_in for torch depthwise Conv1d = (in_ch/groups) * k = k
         kernel = self.param(
             "kernel", torch_uniform_init(self.kernel_size), (self.kernel_size, 1, c)
         )
+        if return_params:
+            bias = (
+                self.param("bias", torch_uniform_init(self.kernel_size), (c,))
+                if self.use_bias else None
+            )
+            return kernel, bias
         w = kernel.astype(x.dtype)
         pad = self.padding
         if isinstance(pad, int):
@@ -149,13 +168,36 @@ class LayerScale(nn.Module):
     init_value: float = 1.0e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None, *, return_params: bool = False):
         scale = self.param(
             "scale",
             lambda key, shape: jnp.full(shape, self.init_value, jnp.float32),
             (self.dim,),
         )
+        if return_params:
+            return scale
         return x * scale.astype(x.dtype)
+
+
+class TorchLayerNorm(nn.Module):
+    """LayerNorm with f32 statistics and flax-compatible param names
+    (scale/bias), exposing raw params for fused kernels."""
+
+    dim: int
+    epsilon: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x=None, *, return_params: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if return_params:
+            return scale, bias
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        c = xf - mean
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        y = c * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
 
 
 class GCFN(nn.Module):
@@ -169,17 +211,44 @@ class GCFN(nn.Module):
     dropout: float
     layer_scale_init: float = 1.0e-5
     norm_eps: float = 1.0e-5
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x).astype(x.dtype)
-        y = TorchLinear(self.dim * 6, name="proj_in")(y)
-        y = DepthwiseConv1d(3, padding=1, name="depthwise")(y)
+        norm = TorchLayerNorm(self.dim, epsilon=self.norm_eps, name="norm")
+        proj_in = TorchLinear(self.dim * 6, in_features=self.dim,
+                              name="proj_in")
+        depthwise = DepthwiseConv1d(3, padding=1, features=self.dim * 6,
+                                    name="depthwise")
+        proj_out = TorchLinear(self.dim, in_features=self.dim * 3,
+                               name="proj_out")
+        layer_scale = LayerScale(self.dim, self.layer_scale_init,
+                                 name="layer_scale")
+
+        from sepreformer_tpu.ops.pallas.gcfn import fused_gcfn, pick_block
+
+        use_fused = (
+            self.fused in ("on", "interpret")
+            or (self.fused == "auto" and jax.default_backend() == "tpu")
+        ) and (not train or self.dropout == 0.0) and pick_block(x.shape[1]) > 0
+        if use_fused:
+            lns, lnb = norm(return_params=True)
+            win, bin_ = proj_in(return_params=True)
+            wdw, bdw = depthwise(return_params=True)
+            wout, bout = proj_out(return_params=True)
+            ls = layer_scale(return_params=True)
+            params = (lns, lnb, win, bin_, wdw[:, 0, :], bdw, wout, bout, ls)
+            return fused_gcfn(
+                x, params, self.norm_eps, self.fused == "interpret"
+            )
+        y = norm(x)
+        y = proj_in(y)
+        y = depthwise(y)
         y = glu_last(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = TorchLinear(self.dim, name="proj_out")(y)
+        y = proj_out(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return x + LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(y)
+        return x + layer_scale(y)
 
 
 class MultiHeadAttention(nn.Module):
@@ -403,13 +472,14 @@ class GlobalBlock(nn.Module):
     num_heads: int
     dropout: float
     norm_eps: float = 1.0e-5
+    fused_ffn: str = "auto"
 
     @nn.compact
     def __call__(self, x, pos_k, *, train: bool = False):
         x = EGA(self.dim, self.num_heads, self.dropout,
                 norm_eps=self.norm_eps, name="ega")(x, pos_k, train=train)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
-                    name="gcfn")(x, train=train)
+                    fused=self.fused_ffn, name="gcfn")(x, train=train)
 
 
 class LocalBlock(nn.Module):
@@ -419,13 +489,14 @@ class LocalBlock(nn.Module):
     kernel_size: int
     dropout: float
     norm_eps: float = 1.0e-5
+    fused_ffn: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = CLA(self.dim, self.kernel_size, self.dropout,
                 norm_eps=self.norm_eps, name="cla")(x, train=train)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
-                    name="gcfn")(x, train=train)
+                    fused=self.fused_ffn, name="gcfn")(x, train=train)
 
 
 class SpkAttention(nn.Module):
@@ -440,6 +511,7 @@ class SpkAttention(nn.Module):
     num_spks: int
     dropout: float
     norm_eps: float = 1.0e-5
+    fused_ffn: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -454,7 +526,7 @@ class SpkAttention(nn.Module):
         )(y, None, train=train)
         y = y.reshape(bs, t, f)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
-                    name="gcfn")(y, train=train)
+                    fused=self.fused_ffn, name="gcfn")(y, train=train)
 
 
 class DownConvLayer(nn.Module):

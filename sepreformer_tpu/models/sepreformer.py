@@ -113,11 +113,13 @@ class SepEncStage(nn.Module):
         for i in (1, 2):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
-                norm_eps=cfg.norm_eps, name=f"global_{i}",
+                norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
+                name=f"global_{i}",
             )(x, pos_k, train=train)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
-                norm_eps=cfg.norm_eps, name=f"local_{i}",
+                norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
+                name=f"local_{i}",
             )(x, train=train)
         skip = x
         if self.down_conv:
@@ -139,15 +141,18 @@ class SepDecStage(nn.Module):
         for i in (1, 2, 3):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
-                norm_eps=cfg.norm_eps, name=f"global_{i}",
+                norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
+                name=f"global_{i}",
             )(x, pos_k, train=train)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
-                norm_eps=cfg.norm_eps, name=f"local_{i}",
+                norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
+                name=f"local_{i}",
             )(x, train=train)
             x = SpkAttention(
                 cfg.feat_dim, cfg.num_heads, cfg.num_spks, cfg.dropout,
-                norm_eps=cfg.norm_eps, name=f"spk_attn_{i}",
+                norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
+                name=f"spk_attn_{i}",
             )(x, train=train)
         return x
 
