@@ -29,13 +29,19 @@ class RelPos(NamedTuple):
 
     table: [2*maxlen, head_dim] embedding table (the raw parameter);
     length: bottleneck length every EGA pools to (module.py:196-198);
-    maxlen: clamp range; impl: attention implementation selector.
+    maxlen: clamp range; impl: attention implementation selector;
+    pos_k: the [L, L, d] gathered table, materialized ONCE by the
+    separator and shared by every global block — per-block gathers cost a
+    scatter-add into the embedding table in the backward (~1.7 ms x 26
+    blocks measured on v5e).  The reference shares it too
+    (module.py:196-198).
     """
 
     table: jnp.ndarray
     length: int
     maxlen: int
     impl: str = "auto"
+    pos_k: Optional[jnp.ndarray] = None
 
 
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
@@ -113,6 +119,7 @@ class DepthwiseConv1d(nn.Module):
     padding: object = "SAME"
     use_bias: bool = True
     features: Optional[int] = None
+    fused: str = "auto"  # large-kernel Pallas path: auto/on/off/interpret
 
     @nn.compact
     def __call__(self, x=None, *, return_params: bool = False):
@@ -121,16 +128,42 @@ class DepthwiseConv1d(nn.Module):
         kernel = self.param(
             "kernel", torch_uniform_init(self.kernel_size), (self.kernel_size, 1, c)
         )
+        bias = (
+            self.param("bias", torch_uniform_init(self.kernel_size), (c,))
+            if self.use_bias else None
+        )
         if return_params:
-            bias = (
-                self.param("bias", torch_uniform_init(self.kernel_size), (c,))
-                if self.use_bias else None
-            )
             return kernel, bias
         w = kernel.astype(x.dtype)
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)]
+
+        from sepreformer_tpu.ops.pallas.depthwise import (
+            depthwise_large,
+            supports,
+        )
+
+        use_large_kernel = (
+            self.kernel_size > 8
+            and self.kernel_size % 2 == 1
+            and self.stride == 1
+            and pad == "SAME"
+            and supports(x.shape[1], c)
+            and (
+                self.fused in ("on", "interpret")
+                or (self.fused == "auto" and jax.default_backend() == "tpu")
+            )
+        )
+        if use_large_kernel:
+            # XLA's grouped-conv fwd+grad lowerings dominated the train
+            # step (~9 ms per CLA at full resolution on v5e); the Pallas
+            # tap-loop kernel reads x/dy once (custom vjp included)
+            b_arr = (bias if bias is not None
+                     else jnp.zeros((c,), kernel.dtype))
+            return depthwise_large(
+                x, kernel[:, 0, :], b_arr, self.fused == "interpret"
+            ).astype(x.dtype)
         if self.kernel_size <= 8 and self.stride == 1:
             # small-kernel depthwise == a handful of shifted multiply-adds;
             # XLA's grouped-conv lowering for this shape was measured at
@@ -155,8 +188,7 @@ class DepthwiseConv1d(nn.Module):
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 feature_group_count=c,
             )
-        if self.use_bias:
-            bias = self.param("bias", torch_uniform_init(self.kernel_size), (c,))
+        if bias is not None:
             y = y + bias.astype(x.dtype)
         return y
 
@@ -309,12 +341,17 @@ class MultiHeadAttention(nn.Module):
                 "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
             )
             if pos is not None:
-                # gather the [T, T, d] rel-pos table (module.py:196-198)
-                pidx = np.arange(t)
-                rel = np.clip(
-                    pidx[:, None] - pidx[None, :], -pos.maxlen, pos.maxlen - 1
-                ) + pos.maxlen
-                pos_k = jnp.take(pos.table, jnp.asarray(rel, jnp.int32), axis=0)
+                if pos.pos_k is not None and pos.pos_k.shape[0] == t:
+                    pos_k = pos.pos_k
+                else:
+                    # gather the [T, T, d] table (module.py:196-198)
+                    pidx = np.arange(t)
+                    rel = np.clip(
+                        pidx[:, None] - pidx[None, :], -pos.maxlen, pos.maxlen - 1
+                    ) + pos.maxlen
+                    pos_k = jnp.take(
+                        pos.table, jnp.asarray(rel, jnp.int32), axis=0
+                    )
                 scores = scores + jnp.einsum(
                     "bihd,ijd->bhij", q, pos_k.astype(q.dtype),
                     preferred_element_type=jnp.float32,
@@ -350,8 +387,7 @@ class MultiHeadAttention(nn.Module):
         k = TorchLinear(self.dim, name="k")(y)
         v = TorchLinear(self.dim, name="v")(y)
 
-        use_fast = s == 2 and (not train or self.dropout == 0.0)
-        if use_fast:
+        if s == 2:
             # head-pool: [F, H] 0/1 block-diagonal; expand: its transpose
             pool = jnp.asarray(
                 np.kron(np.eye(h, dtype=np.float32), np.ones((d, 1), np.float32)),
@@ -369,8 +405,13 @@ class MultiHeadAttention(nn.Module):
                 ) * scale
 
             # softmax over the 2 key speakers == sigmoid(score diff)
-            w0_self = jax.nn.sigmoid(head_scores(q0, k0) - head_scores(q0, k1))
-            w1_self = jax.nn.sigmoid(head_scores(q1, k1) - head_scores(q1, k0))
+            w00 = jax.nn.sigmoid(head_scores(q0, k0) - head_scores(q0, k1))
+            w11 = jax.nn.sigmoid(head_scores(q1, k1) - head_scores(q1, k0))
+            # attention-prob dropout: each of the 4 prob maps is dropped
+            # independently (same semantics as dropout on the [.., 2, 2]
+            # attention matrix), without renormalization
+            probs = jnp.stack([w00, 1.0 - w00, w11, 1.0 - w11])
+            probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
 
             def expand(w):  # [B, T, H] -> [B, T, F]
                 return jnp.einsum(
@@ -378,9 +419,8 @@ class MultiHeadAttention(nn.Module):
                     preferred_element_type=x.dtype,
                 )
 
-            e0, e1 = expand(w0_self), expand(w1_self)
-            out0 = e0 * v0 + (1.0 - e0) * v1
-            out1 = e1 * v1 + (1.0 - e1) * v0
+            out0 = expand(probs[0]) * v0 + expand(probs[1]) * v1
+            out1 = expand(probs[2]) * v1 + expand(probs[3]) * v0
             out = jnp.stack([out0, out1], axis=1)
         else:
             qh = q.reshape(b, s, t, h, d)

@@ -94,9 +94,21 @@ class RelativePositionalEncoding(nn.Module):
             "pe_k", nn.initializers.normal(1.0),
             (2 * cfg.pos_maxlen, cfg.head_dim),
         )
+        # materialize the gathered table once for the XLA attention path so
+        # its backward does one scatter-add instead of one per block; the
+        # flash-kernel path consumes the raw table (no [L, L, d] tensor)
+        from sepreformer_tpu.models.blocks import resolve_attention_impl
+
+        pos_k = None
+        if resolve_attention_impl(cfg.attention_impl, length) == "xla":
+            pos = np.arange(length)
+            rel = np.clip(
+                pos[:, None] - pos[None, :], -cfg.pos_maxlen, cfg.pos_maxlen - 1
+            ) + cfg.pos_maxlen
+            pos_k = jnp.take(table, jnp.asarray(rel, jnp.int32), axis=0)
         return RelPos(
             table=table, length=length, maxlen=cfg.pos_maxlen,
-            impl=cfg.attention_impl,
+            impl=cfg.attention_impl, pos_k=pos_k,
         )
 
 
