@@ -262,7 +262,7 @@ class GCFN(nn.Module):
         use_fused = (
             self.fused in ("on", "interpret")
             or (self.fused == "auto" and jax.default_backend() == "tpu")
-        ) and (not train or self.dropout == 0.0) and pick_block(x.shape[1]) > 0
+        ) and pick_block(x.shape[1]) > 0
         if use_fused:
             lns, lnb = norm(return_params=True)
             win, bin_ = proj_in(return_params=True)
@@ -270,9 +270,24 @@ class GCFN(nn.Module):
             wout, bout = proj_out(return_params=True)
             ls = layer_scale(return_params=True)
             params = (lns, lnb, win, bin_, wdw[:, 0, :], bdw, wout, bout, ls)
-            return fused_gcfn(
-                x, params, self.norm_eps, self.fused == "interpret"
-            )
+            interpret = self.fused == "interpret"
+            if train and self.dropout > 0.0:
+                # hash-dropout variant with handwritten backward; the mask
+                # pattern differs from flax Dropout's (same Bernoulli
+                # distribution, different stream)
+                from sepreformer_tpu.ops.pallas.gcfn_train import (
+                    fused_gcfn_train,
+                )
+
+                rng = self.make_rng("dropout")
+                seed = jax.random.randint(
+                    rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                )
+                return fused_gcfn_train(
+                    x, params, seed, self.norm_eps, float(self.dropout),
+                    interpret,
+                )
+            return fused_gcfn(x, params, self.norm_eps, interpret)
         y = norm(x)
         y = proj_in(y)
         y = depthwise(y)
