@@ -26,6 +26,8 @@ def main() -> None:
     p.add_argument("--variant", default="SepReformer_Base_WSJ0")
     p.add_argument("--train", action="store_true",
                    help="measure the train step instead of inference")
+    p.add_argument("--tiny", action="store_true",
+                   help="use a tiny model (CPU-mesh mechanics validation)")
     args = p.parse_args()
 
     if args.cpu_mesh:
@@ -58,6 +60,19 @@ def main() -> None:
     )
 
     variant = get_variant(args.variant)
+    if args.tiny:
+        import dataclasses
+
+        from sepreformer_tpu.config import ModelConfig
+
+        variant = dataclasses.replace(
+            variant,
+            model=ModelConfig(
+                num_stages=2, num_spks=2, enc_dim=32, enc_kernel=16,
+                enc_stride=4, feat_dim=32, num_heads=4, pos_maxlen=64,
+                local_kernel=9, down_kernel=5, dropout=0.1,
+            ),
+        )
     sr = variant.dataset.sampling_rate
     t_samples = int(args.seconds * sr)
     n_devices = len(jax.devices())
