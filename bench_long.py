@@ -6,6 +6,9 @@ materializes [B*spks, H, L, L] scores.  This measures where the Pallas
 flash kernel wins and that long inputs run at all.
 
 ``python bench_long.py [--seconds 16 32 64] [--impl auto xla pallas]``
+
+``--impls chunked`` measures the linear-cost chunked overlap-add serving
+path (sepreformer_tpu.serving) at an 8 s chunk / 50% overlap.
 """
 
 from __future__ import annotations
@@ -41,6 +44,39 @@ def main():
     rng = np.random.default_rng(0)
     results = {}
     for impl in args.impls:
+        if impl == "chunked":
+            from sepreformer_tpu.serving import separate_chunked
+
+            model = SepReformer(base.model)
+            chunk_len = 8 * sr
+            v = jax.jit(model.init)(
+                jax.random.key(0), jnp.zeros((1, 16000), jnp.float32)
+            )
+
+            @jax.jit
+            def fwd_batch(v, batch):
+                audio, _ = model.apply(v, batch)
+                return jnp.transpose(audio, (1, 0, 2))
+
+            def forward_batch(batch):
+                return np.asarray(fwd_batch(v, jnp.asarray(batch)))
+
+            for seconds in args.seconds:
+                t = int(seconds * sr) // 4 * 4
+                wav = rng.normal(scale=0.05, size=(t,)).astype(np.float32)
+                key = f"chunked/{seconds:g}s"
+                separate_chunked(forward_batch, wav, chunk_len)  # compile
+                t0 = time.perf_counter()
+                n = 4
+                for _ in range(n):
+                    separate_chunked(forward_batch, wav, chunk_len)
+                step = (time.perf_counter() - t0) / n
+                results[key] = {
+                    "step_ms": round(step * 1e3, 1),
+                    "audio_s_per_s": round(seconds / step, 1),
+                }
+                print(key, results[key], flush=True)
+            continue
         cfg = dataclasses.replace(base.model, attention_impl=impl)
         model = SepReformer(cfg)
         for seconds in args.seconds:

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model-axis size for Large variants")
     p.add_argument("--list-models", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk-seconds", type=float, default=None,
+                   help="infer_sample: chunked overlap-add long-form "
+                        "processing with this chunk length (linear cost)")
     return p
 
 
@@ -108,7 +111,8 @@ def main(argv: Optional[list] = None) -> int:
         if not args.sample_file:
             print("--sample-file is required for infer_sample", file=sys.stderr)
             return 2
-        outs = engine.infer_sample(args.sample_file, args.out_wav_dir)
+        outs = engine.infer_sample(args.sample_file, args.out_wav_dir,
+                                   chunk_seconds=args.chunk_seconds)
         print("\n".join(outs))
         return 0
 

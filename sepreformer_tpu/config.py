@@ -138,6 +138,10 @@ class DatasetConfig:
     train_reverb_sources: Tuple[str, ...] = ()
     batch_size: int = 2
     num_workers: int = 8
+    # eval throughput: batch test utterances (length-sorted, bucket-padded;
+    # metrics still run per-utterance at true length).  1 == reference
+    # behavior (dataset.py:30 forces test batch to 1)
+    eval_batch_size: int = 1
 
 
 @dataclass(frozen=True)

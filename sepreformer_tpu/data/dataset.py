@@ -285,6 +285,7 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 4,
         eval_bucket: int = 4000,
+        sort_by_length: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -296,6 +297,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.eval_bucket = eval_bucket
+        self.sort_by_length = sort_by_length
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -307,6 +309,18 @@ class DataLoader:
             rng = np.random.default_rng((self.seed, self._epoch))
             keys = list(keys)
             rng.shuffle(keys)
+        elif self.sort_by_length:
+            # batched eval: similar-length utterances share a batch so the
+            # bucket-padded shape wastes little compute and few distinct
+            # shapes get compiled.  File size is length-proportional for
+            # PCM wavs — no need to decode headers.
+            mix = self.dataset.mix_dict
+            keys = sorted(
+                keys,
+                key=lambda k: (os.path.getsize(mix[k])
+                               if os.path.exists(mix[k]) else 0),
+                reverse=True,
+            )
         return list(keys)
 
     def __len__(self) -> int:
@@ -365,7 +379,9 @@ def build_dataloaders(
         ds = SeparationDataset(cfg, part, scp_root)
         if part == "test":
             loaders[part] = DataLoader(
-                ds, batch_size=1, shuffle=False, pad_to=None, seed=seed,
+                ds, batch_size=cfg.eval_batch_size, shuffle=False,
+                pad_to=None, seed=seed,
+                sort_by_length=cfg.eval_batch_size > 1,
             )
         else:
             loaders[part] = DataLoader(

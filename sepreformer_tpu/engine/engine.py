@@ -188,38 +188,59 @@ class Engine:
     def _test(self, wav_dir: Optional[str] = None, compute_sdr: bool = True):
         """Per-utterance SI-SNRi (+SDRi) with CSV dumps (engine.py:113-149).
 
-        Metrics run on host at true length in float64.
+        Metrics run on host at true length in float64.  BSS-eval SDR is
+        the slow host-side part (O(T) Toeplitz solves per utterance —
+        reference runs it inline, engine.py:132-134); here it runs on a
+        thread pool overlapped with the device forwards.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         loader = self.loaders["test"]
-        rows_sisnr, rows_sdr = [], []
-        tot_sisnri, tot_sdri, n = 0.0, 0.0, 0
+        rows_sisnr = []
+        sdr_futures = []
+        tot_sisnri, n = 0.0, 0
+        pool = ThreadPoolExecutor(max_workers=4) if compute_sdr else None
         for batch in loader:
-            assert batch.batch_size == 1, "test requires batch size 1"
+            # batch > 1 (cfg.dataset.eval_batch_size): utterances are
+            # length-sorted and bucket-padded; metrics below run
+            # per-utterance at true length.  NOTE: zero-padding is visible
+            # to global attention, so batched scores can differ at the
+            # margin from batch-1 eval — default stays 1 (reference
+            # semantics, dataset.py:30); >1 is the throughput mode
             mix, _ = self._prep(batch)
             audio = np.asarray(self.forward(self.state.params,
                                             self.state.batch_stats, mix))
-            t = int(batch.input_sizes[0])
-            key = batch.keys[0]
-            est = audio[:, 0, :t]
-            src = batch.sources[:, 0, :t]
-            mixture = batch.mixture[0, :t]
-            mean_i, per_src = pit_sisnri_np(est, src, mixture)
-            rows_sisnr.append([key, mean_i, *per_src])
-            tot_sisnri += mean_i
-            if compute_sdr:
-                mean_s, per_s = sdri_np(est, src, mixture)
+            for j in range(batch.batch_size):
+                t = int(batch.input_sizes[j])
+                key = batch.keys[j]
+                est = audio[:, j, :t]
+                src = batch.sources[:, j, :t]
+                mixture = batch.mixture[j, :t]
+                mean_i, per_src = pit_sisnri_np(est, src, mixture)
+                rows_sisnr.append([key, mean_i, *per_src])
+                tot_sisnri += mean_i
+                if compute_sdr:
+                    sdr_futures.append(
+                        (key, pool.submit(sdri_np, est, src, mixture))
+                    )
+                if wav_dir:
+                    os.makedirs(wav_dir, exist_ok=True)
+                    write_wav(os.path.join(wav_dir, f"{key}_mix.wav"),
+                              peak_normalize(mixture, 0.5),
+                              self.cfg.dataset.sampling_rate)
+                    for i in range(est.shape[0]):
+                        write_wav(
+                            os.path.join(wav_dir, f"{key}_spk{i+1}.wav"),
+                            peak_normalize(est[i], 0.5),
+                            self.cfg.dataset.sampling_rate)
+                n += 1
+        rows_sdr, tot_sdri = [], 0.0
+        if compute_sdr:
+            for key, fut in sdr_futures:
+                mean_s, per_s = fut.result()
                 rows_sdr.append([key, mean_s, *per_s])
                 tot_sdri += mean_s
-            if wav_dir:
-                os.makedirs(wav_dir, exist_ok=True)
-                write_wav(os.path.join(wav_dir, f"{key}_mix.wav"),
-                          peak_normalize(mixture, 0.5),
-                          self.cfg.dataset.sampling_rate)
-                for i in range(est.shape[0]):
-                    write_wav(os.path.join(wav_dir, f"{key}_spk{i+1}.wav"),
-                              peak_normalize(est[i], 0.5),
-                              self.cfg.dataset.sampling_rate)
-            n += 1
+            pool.shutdown()
         for name, rows in [("test_SISNRi_value.csv", rows_sisnr),
                            ("test_SDRi_value.csv", rows_sdr)]:
             if rows:
@@ -231,18 +252,41 @@ class Engine:
         log.info("test: %s over %d utterances", out, n)
         return out
 
-    def infer_sample(self, sample_file: str, out_dir: Optional[str] = None):
-        """Separate one wav file (engine.py:152-172)."""
+    def infer_sample(self, sample_file: str, out_dir: Optional[str] = None,
+                     chunk_seconds: Optional[float] = None):
+        """Separate one wav file (engine.py:152-172).
+
+        ``chunk_seconds`` switches to chunked overlap-add processing
+        (sepreformer_tpu.serving) — linear-cost long-form serving with one
+        compiled chunk shape instead of a per-length compile.
+        """
         out_dir = out_dir or os.path.dirname(os.path.abspath(sample_file))
         wav, sr = read_wav(sample_file, sr=self.cfg.dataset.sampling_rate)
         t = len(wav)
         stride = self.cfg.model.enc_stride
-        pad = (-t) % stride
-        x = np.pad(wav, (0, pad))[None].astype(np.float32)
-        audio = np.asarray(
-            self.forward(self.state.params, self.state.batch_stats,
-                         jnp.asarray(x))
-        )[:, 0, :t]
+        chunk_len = (
+            int(chunk_seconds * self.cfg.dataset.sampling_rate)
+            if chunk_seconds else 0
+        )
+        if chunk_len and t > chunk_len:
+            from sepreformer_tpu.serving import separate_chunked
+
+            chunk_len -= chunk_len % stride
+
+            def forward_batch(batch):
+                out = self.forward(self.state.params,
+                                   self.state.batch_stats,
+                                   jnp.asarray(batch))
+                return np.asarray(out).transpose(1, 0, 2)  # [N, spks, C]
+
+            audio = separate_chunked(forward_batch, wav, chunk_len)
+        else:
+            pad = (-t) % stride
+            x = np.pad(wav, (0, pad))[None].astype(np.float32)
+            audio = np.asarray(
+                self.forward(self.state.params, self.state.batch_stats,
+                             jnp.asarray(x))
+            )[:, 0, :t]
         stem = os.path.splitext(os.path.basename(sample_file))[0]
         os.makedirs(out_dir, exist_ok=True)
         write_wav(os.path.join(out_dir, f"{stem}_in.wav"),

@@ -159,10 +159,10 @@ class DepthwiseConv1d(nn.Module):
             # XLA's grouped-conv fwd+grad lowerings dominated the train
             # step (~9 ms per CLA at full resolution on v5e); the Pallas
             # tap-loop kernel reads x/dy once (custom vjp included)
-            b_arr = (bias if bias is not None
-                     else jnp.zeros((c,), kernel.dtype))
+            b_arr = (bias.astype(x.dtype) if bias is not None
+                     else jnp.zeros((c,), x.dtype))
             return depthwise_large(
-                x, kernel[:, 0, :], b_arr, self.fused == "interpret"
+                x, w[:, 0, :], b_arr, self.fused == "interpret"
             ).astype(x.dtype)
         if self.kernel_size <= 8 and self.stride == 1:
             # small-kernel depthwise == a handful of shifted multiply-adds;

@@ -73,9 +73,11 @@ def _flash_kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)          # [BL, D]
-    k = k_ref[0].astype(jnp.float32)          # [BL, D]
-    v = v_ref[0].astype(jnp.float32)          # [BL, D]
+    # dots run in the stream dtype (bf16 multiplies on the MXU for bf16
+    # inputs) with f32 accumulation; softmax state stays f32
+    q = q_ref[0]                               # [BL, D]
+    k = k_ref[0]                               # [BL, D]
+    v = v_ref[0]                               # [BL, D]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -85,7 +87,7 @@ def _flash_kernel(
     # _build_pe_pad.  band[ii,jj] = q_ii . pe[rel=(bi-bj)*BL + ii - jj]
     # lands at reversed-table offset (nb-1-bi+bj)*BL + (BL-1-ii+jj).
     off = (nb - 1 - bi + bj) * BLOCK
-    pe_slice = pe_ref[pl.ds(off, 2 * BLOCK), :].astype(jnp.float32)
+    pe_slice = pe_ref[pl.ds(off, 2 * BLOCK), :].astype(q.dtype)
     s2 = jax.lax.dot_general(
         q, pe_slice, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -105,7 +107,8 @@ def _flash_kernel(
     p = jnp.exp(s - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_ref[:] = m_new
     l_ref[:] = l_new

@@ -192,8 +192,12 @@ def _vjp_fwd(x, w, b, interpret):
 
 def _vjp_bwd(interpret, res, g):
     x, w = res
-    dx, dw, db = _impl_bwd(x, w, g, interpret)
-    return dx, dw.astype(w.dtype), db.astype(w.dtype)
+    # the tap-loop kernel does unaligned sublane loads, which Mosaic only
+    # allows on unpacked (32-bit) layouts — run the bwd in f32 for bf16
+    # streams (it computes f32 internally regardless)
+    dx, dw, db = _impl_bwd(x.astype(jnp.float32), w.astype(jnp.float32),
+                           g.astype(jnp.float32), interpret)
+    return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(w.dtype)
 
 
 depthwise_large.defvjp(_vjp_fwd, _vjp_bwd)

@@ -36,6 +36,13 @@ MAX_BLOCK = 512
 MIN_BLOCK = 64
 
 
+def matmul_dtype(x_dtype) -> jnp.dtype:
+    """MXU operand dtype policy: bf16 streams run bf16 multiplies with f32
+    accumulation (preferred_element_type) — the native MXU mode, ~2x the
+    f32 throughput on v5e; everything else stays f32."""
+    return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
+
+
 def pick_block(t: int) -> int:
     """Time-block size: t itself when it fits (Mosaic allows full-dim
     blocks of any size), else the largest divisor of t in
@@ -63,7 +70,10 @@ def _gcfn_kernel(
     var = jnp.mean(centered * centered, axis=1, keepdims=True)
     xn = centered * jax.lax.rsqrt(var + eps)
     xn = xn * lns_ref[0] + lnb_ref[0]
-    u = jnp.dot(xn, win_ref[:], preferred_element_type=jnp.float32)
+    # weights arrive pre-cast (bf16 for bf16 streams); matching the operand
+    # dtypes puts the MXU in its native bf16 mode, accumulating f32
+    u = jnp.dot(xn.astype(win_ref.dtype), win_ref[:],
+                preferred_element_type=jnp.float32)
     u = u + bin_ref[0]
     u_main = u[:bt]
     # sequence-edge boundaries contribute zeros (torch zero-pads u-space)
@@ -77,7 +87,8 @@ def _gcfn_kernel(
     y = u_prev * w0 + u_main * w1 + u_next * w2 + bdw_ref[0]
     half = hidden // 2
     g = y[:, :half] * jax.nn.sigmoid(y[:, half:])
-    out = jnp.dot(g, wout_ref[:], preferred_element_type=jnp.float32)
+    out = jnp.dot(g.astype(wout_ref.dtype), wout_ref[:],
+                  preferred_element_type=jnp.float32)
     out = out + bout_ref[0]
     out_ref[0] = (x + ls_ref[0] * out).astype(out_ref.dtype)
 
@@ -108,6 +119,9 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False):
     if bt == 0:
         return gcfn_reference(x, params, eps)
     nt = t // bt
+    mm = matmul_dtype(x.dtype)
+    win = win.astype(mm)
+    wout = wout.astype(mm)
 
     # boundary LN-input rows per block; zero rows at sequence edges
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sepreformer_tpu.ops.pallas.gcfn import pick_block
+from sepreformer_tpu.ops.pallas.gcfn import matmul_dtype, pick_block
 
 
 def keep_mask(seed, site: int, rows, cols, p: float):
@@ -106,7 +106,9 @@ def _fwd_train_kernel(
     xb = xb_ref[0, 0].astype(jnp.float32)
     both = jnp.concatenate([x, xb], axis=0)
     xn, _, _ = _ln_rows(both, lns_ref[0], lnb_ref[0], eps)
-    u = jnp.dot(xn, win_ref[:], preferred_element_type=jnp.float32) + bin_ref[0]
+    # weights arrive pre-cast (bf16 for bf16 streams) -> native MXU mode
+    u = jnp.dot(xn.astype(win_ref.dtype), win_ref[:],
+                preferred_element_type=jnp.float32) + bin_ref[0]
     u_main = u[:bt]
     not_first = (bi > 0).astype(jnp.float32)
     not_last = (bi < nt - 1).astype(jnp.float32)
@@ -117,7 +119,8 @@ def _fwd_train_kernel(
     g0 = y[:, :half] * jax.nn.sigmoid(y[:, half:])
     rows, cols = _rows_cols(b, bi, t, bt, bt, half)
     g = g0 * keep_mask(seed, 0, rows, cols, p) / (1.0 - p)
-    o0 = jnp.dot(g, wout_ref[:], preferred_element_type=jnp.float32)
+    o0 = jnp.dot(g.astype(wout_ref.dtype), wout_ref[:],
+                 preferred_element_type=jnp.float32)
     o0 = o0 + bout_ref[0]
     rows_f, cols_f = _rows_cols(b, bi, t, bt, bt, o0.shape[1])
     o = o0 * keep_mask(seed, 1, rows_f, cols_f, p) / (1.0 - p)
@@ -127,7 +130,8 @@ def _fwd_train_kernel(
 def _recompute_rows(x_rows, row_ids, lns, lnb, win, bin_, eps):
     """LN + up-projection for arbitrary rows (boundary recompute)."""
     xn, xh, inv = _ln_rows(x_rows, lns, lnb, eps)
-    u = jnp.dot(xn, win, preferred_element_type=jnp.float32) + bin_
+    u = jnp.dot(xn.astype(win.dtype), win,
+                preferred_element_type=jnp.float32) + bin_
     return u, xn, xh, inv
 
 
@@ -201,7 +205,8 @@ def _bwd_train_kernel(
     rows_h, cols_h = _rows_cols(b, bi, t, bt, bt, half)
     m0 = keep_mask(seed, 0, rows_h, cols_h, p)
     g = g0 * m0 * keep_scale
-    o0 = jnp.dot(g, wout, preferred_element_type=jnp.float32) + bout_ref[0]
+    o0 = jnp.dot(g.astype(wout.dtype), wout,
+                 preferred_element_type=jnp.float32) + bout_ref[0]
     f_dim = o0.shape[1]
     rows_f, cols_f = _rows_cols(b, bi, t, bt, bt, f_dim)
     m1 = keep_mask(seed, 1, rows_f, cols_f, p)
@@ -212,11 +217,14 @@ def _bwd_train_kernel(
     dls_ref[:] += jnp.sum(dout * o, axis=0, keepdims=True)
     do0 = dout * ls * m1 * keep_scale
     dbout_ref[:] += jnp.sum(do0, axis=0, keepdims=True)
+    mm = wout.dtype  # bf16 multiplies / f32 accumulation for bf16 streams
     dwout_ref[:] += jax.lax.dot_general(
-        g, do0, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        g.astype(mm), do0.astype(mm), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dg = jax.lax.dot_general(
-        do0, wout, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do0.astype(mm), wout, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dg0 = dg * m0 * keep_scale
     dy = _glu_bwd(dg0, y, half)                       # [BT, 6F]
@@ -233,7 +241,7 @@ def _bwd_train_kernel(
         m0_e = keep_mask(seed, 0, rid, colsh, p)
         do0_e = dout_row * ls * m1_e * keep_scale
         dg_e = jax.lax.dot_general(
-            do0_e, wout, (((1,), (1,)), ((), ())),
+            do0_e.astype(wout.dtype), wout, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return _glu_bwd(dg_e * m0_e * keep_scale, y_e, half)
@@ -253,10 +261,12 @@ def _bwd_train_kernel(
 
     dbin_ref[:] += jnp.sum(du, axis=0, keepdims=True)
     dwin_ref[:] += jax.lax.dot_general(
-        xn, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        xn.astype(mm), du.astype(mm), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dxn = jax.lax.dot_general(
-        du, win, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        du.astype(mm), win, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dlns_ref[:] += jnp.sum(dxn * xh, axis=0, keepdims=True)
     dlnb_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
@@ -298,6 +308,9 @@ def _fwd_train_impl(x, params, seed, eps: float, p: float,
     bt = pick_block(t)
     assert bt > 0, "unsupported length for fused train GCFN"
     nt = t // bt
+    mm = matmul_dtype(x.dtype)
+    win = win.astype(mm)
+    wout = wout.astype(mm)
     xb = _boundary_rows(x, bt, (-1, bt))
     full, seed_spec, xblk = _specs(f, hidden, bt, nt)
 
@@ -336,6 +349,9 @@ def _bwd_train_impl(x, params, seed, dout, eps: float, p: float,
     hidden = win.shape[1]
     bt = pick_block(t)
     nt = t // bt
+    mm = matmul_dtype(x.dtype)
+    win = win.astype(mm)
+    wout = wout.astype(mm)
     xb4 = _boundary_rows(x, bt, (-2, -1, bt, bt + 1))
     doutb = _boundary_rows(dout, bt, (-1, bt))
     full, seed_spec, xblk = _specs(f, hidden, bt, nt)

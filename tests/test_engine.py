@@ -67,6 +67,19 @@ def test_test_mode_writes_csv(corpus, tmp_path):
     assert os.path.exists(os.path.join(workdir, "test_SISNRi_value.csv"))
 
 
+def test_test_mode_async_sdr(corpus, tmp_path):
+    cfg = tiny_variant(corpus)
+    loaders = build_dataloaders(cfg.dataset, "test", scp_root=corpus)
+    workdir = str(tmp_path / "work")
+    engine = Engine(cfg, workdir, loaders)
+    out = engine._test(compute_sdr=True)
+    assert np.isfinite(out["sisnri"]) and np.isfinite(out["sdri"])
+    sdr_csv = os.path.join(workdir, "test_SDRi_value.csv")
+    assert os.path.exists(sdr_csv)
+    with open(sdr_csv) as f:
+        assert len(f.readlines()) == 4  # one row per utterance
+
+
 def test_infer_sample_writes_wavs(corpus, tmp_path):
     from sepreformer_tpu.data.audio import write_wav
 
@@ -78,6 +91,41 @@ def test_infer_sample_writes_wavs(corpus, tmp_path):
     outs = engine.infer_sample(sample, str(tmp_path / "out"))
     assert len(outs) == 2
     assert all(os.path.exists(p) for p in outs)
+
+
+def test_infer_sample_chunked(corpus, tmp_path):
+    from sepreformer_tpu.data.audio import read_wav, write_wav
+
+    cfg = tiny_variant(corpus)
+    engine = Engine(cfg, str(tmp_path / "work"), {})
+    wav = np.random.default_rng(1).normal(scale=0.1, size=9000).astype(np.float32)
+    sample = str(tmp_path / "sample_long.wav")
+    write_wav(sample, wav, 8000)
+    outs = engine.infer_sample(sample, str(tmp_path / "out"),
+                               chunk_seconds=0.5)  # 4000-sample chunks
+    assert len(outs) == 2
+    for p in outs:
+        audio, _ = read_wav(p, sr=8000)
+        assert audio.shape == (9000,)
+        assert np.isfinite(audio).all()
+
+
+def test_test_mode_batched_eval(corpus, tmp_path):
+    """eval_batch_size > 1: same utterance set, per-utterance metrics at
+    true length, CSV row count unchanged."""
+    cfg = tiny_variant(corpus)
+    cfg = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(cfg.dataset, eval_batch_size=3)
+    )
+    loaders = build_dataloaders(cfg.dataset, "test", scp_root=corpus)
+    assert loaders["test"].batch_size == 3
+    workdir = str(tmp_path / "work")
+    engine = Engine(cfg, workdir, loaders)
+    out = engine._test(compute_sdr=False)
+    assert np.isfinite(out["sisnri"])
+    with open(os.path.join(workdir, "test_SISNRi_value.csv")) as f:
+        rows = f.readlines()
+    assert len(rows) == 4  # one per utterance despite batching
 
 
 def test_lr_controller_semantics():
