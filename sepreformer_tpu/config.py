@@ -153,6 +153,11 @@ class EngineConfig:
     test_epochs: Tuple[int, ...] = (100, 120, 150, 170)
     mvn: bool = False
     dummy_len: int = 16000        # startup params/FLOPs summary input length
+    # reference quirk emulation: engine.py:194 resets its best-valid-loss
+    # tracker at the TOP of every epoch, so "save per best" saves any epoch
+    # beating the session-initial validation loss.  False (default) =
+    # proper best tracking across the run
+    strict_reference_best: bool = False
 
 
 @dataclass(frozen=True)

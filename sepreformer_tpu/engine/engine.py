@@ -308,11 +308,20 @@ class Engine:
                 if engine_mode == "test_save" else None
             )
         history = []
+        session_initial_valid = None
         for epoch in range(self.start_epoch, self.cfg.engine.max_epoch):
             t0 = time.time()
+            if (self.cfg.engine.strict_reference_best
+                    and session_initial_valid is None
+                    and "valid" in self.loaders):
+                # reference quirk (engine.py:187-194): the best tracker is
+                # re-seeded from an initial validation pass every epoch
+                session_initial_valid = self._validate()["time_loss"]
             train_m = self._train_epoch(epoch)
             valid_m = self._validate()
             valid_loss = valid_m["time_loss"]
+            if self.cfg.engine.strict_reference_best:
+                self.best_valid = session_initial_valid
             if epoch > self.cfg.engine.start_scheduling:
                 self.lr_ctl.plateau_step(valid_loss)
             if epoch in self.cfg.engine.test_epochs and "test" in self.loaders:

@@ -258,11 +258,19 @@ class GCFN(nn.Module):
                                  name="layer_scale")
 
         from sepreformer_tpu.ops.pallas.gcfn import fused_gcfn, pick_block
+        from sepreformer_tpu.ops.pallas.gcfn_train import pick_train_block
 
+        train_dropout = train and self.dropout > 0.0
+        # the train kernels hold more live [bt, 6F] arrays -> tighter
+        # VMEM-budgeted block sizes for wide variants (Large: 6F=1536)
+        block_ok = (
+            pick_train_block(x.shape[1], self.dim * 6) > 0
+            if train_dropout else pick_block(x.shape[1]) > 0
+        )
         use_fused = (
             self.fused in ("on", "interpret")
             or (self.fused == "auto" and jax.default_backend() == "tpu")
-        ) and pick_block(x.shape[1]) > 0
+        ) and block_ok
         if use_fused:
             lns, lnb = norm(return_params=True)
             win, bin_ = proj_in(return_params=True)

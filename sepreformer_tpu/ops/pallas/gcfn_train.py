@@ -30,7 +30,33 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sepreformer_tpu.ops.pallas.gcfn import matmul_dtype, pick_block
+from sepreformer_tpu.ops.pallas.gcfn import (
+    MAX_BLOCK,
+    MIN_BLOCK,
+    matmul_dtype,
+    pick_block,
+)
+
+# the backward kernel peaks at ~6.6 live [bt, hidden] f32 arrays (measured:
+# bt=400 @ hidden=1536 hit 16.25M against the 16M scoped-vmem limit on
+# v5e); budget rows so wide variants (Large: hidden=1536) fit
+TRAIN_VMEM_BUDGET = 14 * 1024 * 1024
+TRAIN_LIVE_ROWS = 7
+
+
+def pick_train_block(t: int, hidden: int) -> int:
+    """Time-block size for the train kernels: like pick_block but capped
+    by the VMEM budget at the given hidden width (0 if nothing fits)."""
+    cap = TRAIN_VMEM_BUDGET // (hidden * 4 * TRAIN_LIVE_ROWS)
+    cap = min(MAX_BLOCK, cap // 8 * 8)
+    if cap <= 0:
+        return 0
+    if t <= cap:
+        return t
+    for bt in range(cap, MIN_BLOCK - 1, -8):
+        if t % bt == 0:
+            return bt
+    return 0
 
 
 def keep_mask(seed, site: int, rows, cols, p: float):
@@ -305,7 +331,7 @@ def _fwd_train_impl(x, params, seed, eps: float, p: float,
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
-    bt = pick_block(t)
+    bt = pick_train_block(t, hidden)
     assert bt > 0, "unsupported length for fused train GCFN"
     nt = t // bt
     mm = matmul_dtype(x.dtype)
@@ -347,7 +373,7 @@ def _bwd_train_impl(x, params, seed, dout, eps: float, p: float,
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
-    bt = pick_block(t)
+    bt = pick_train_block(t, hidden)
     nt = t // bt
     mm = matmul_dtype(x.dtype)
     win = win.astype(mm)

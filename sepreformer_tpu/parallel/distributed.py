@@ -29,8 +29,11 @@ def initialize_distributed(
     """
     import jax
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NOTE: do NOT probe jax.process_count() here — it initializes the
+    # local XLA backend, after which jax.distributed.initialize refuses
+    # to run (bug found by tests/test_distributed_multiprocess.py)
+    if jax.distributed.is_initialized():
+        return True
     env_says_multihost = any(
         k in os.environ
         for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")

@@ -110,6 +110,19 @@ def test_infer_sample_chunked(corpus, tmp_path):
         assert np.isfinite(audio).all()
 
 
+def test_strict_reference_best_mode(corpus, tmp_path):
+    """engine.strict_reference_best re-seeds the best tracker from the
+    session-initial validation loss each epoch (reference engine.py:194
+    quirk) — training must run and checkpoint under it."""
+    cfg = tiny_variant(corpus, strict_reference_best=True)
+    loaders = build_dataloaders(cfg.dataset, "train", scp_root=corpus)
+    workdir = str(tmp_path / "work")
+    engine = Engine(cfg, workdir, loaders)
+    result = engine.run("train")
+    assert len(result["history"]) == 2
+    assert Engine(cfg, workdir, loaders).start_epoch > 1  # checkpoint saved
+
+
 def test_test_mode_batched_eval(corpus, tmp_path):
     """eval_batch_size > 1: same utterance set, per-utterance metrics at
     true length, CSV row count unchanged."""
