@@ -30,18 +30,59 @@ class RelPos(NamedTuple):
     table: [2*maxlen, head_dim] embedding table (the raw parameter);
     length: bottleneck length every EGA pools to (module.py:196-198);
     maxlen: clamp range; impl: attention implementation selector;
-    pos_k: the [L, L, d] gathered table, materialized ONCE by the
-    separator and shared by every global block — per-block gathers cost a
-    scatter-add into the embedding table in the backward (~1.7 ms x 26
-    blocks measured on v5e).  The reference shares it too
-    (module.py:196-198).
+    pos_kt: the [L, d, L] gathered table (pos_k transposed to the bias
+    dot's operand layout: j on lanes, d on sublanes), materialized ONCE by
+    the separator and shared by every global block (the reference shares
+    its [L, L, d] pos_k the same way, module.py:196-198).  The transpose
+    is baked into the materialization because profiling showed each of the
+    22 consuming blocks otherwise paid its own ~190 us relayout copy of
+    the d-minor gather output on v5e.  (A Transformer-XL skewing path
+    avoiding the [L, L, d] tensor entirely — relpos_bias_skew — measured
+    3x SLOWER end-to-end: its [t, 2t-1] flatten forces misaligned
+    relayouts on TPU.)
     """
 
     table: jnp.ndarray
     length: int
     maxlen: int
     impl: str = "auto"
-    pos_k: Optional[jnp.ndarray] = None
+    pos_kt: Optional[jnp.ndarray] = None
+
+
+def rel_table(table: jnp.ndarray, t: int, maxlen: int) -> jnp.ndarray:
+    """[2t-1, d] clamped relative-position rows for the skewing path.
+
+    The skew reads row r at bias[i, j] with r = j - i + t - 1, and the
+    reference bias is table[clip(i - j)] (module.py:53-54), so row r holds
+    table[clip((t-1) - r, -maxlen, maxlen-1) + maxlen].
+    """
+    r = np.arange(2 * t - 1)
+    idx = np.clip((t - 1) - r, -maxlen, maxlen - 1) + maxlen
+    return jnp.take(table, jnp.asarray(idx, jnp.int32), axis=0)
+
+
+def gather_pos_kt(table: jnp.ndarray, t: int, maxlen: int) -> jnp.ndarray:
+    """[t, d, t] clamped rel-pos tensor: pos_kt[i, :, j] = table[clip(i-j)]
+    (module.py:196-198, 53-54), pre-transposed to the bias dot's operand
+    layout (see RelPos docstring)."""
+    pos = np.arange(t)
+    rel = np.clip(pos[:, None] - pos[None, :], -maxlen, maxlen - 1) + maxlen
+    pos_k = jnp.take(table, jnp.asarray(rel, jnp.int32), axis=0)  # [t, t, d]
+    return jnp.swapaxes(pos_k, 1, 2)
+
+
+def relpos_bias_skew(q: jnp.ndarray, pe_rel: jnp.ndarray) -> jnp.ndarray:
+    """bias[b,h,i,j] = q[b,i,h,:] . pe_rel[j-i+t-1] via the skewing
+    reshape: flat[i*(2t-2) + j + (t-1)] of s2 = q @ pe_rel^T — no [t,t,d]
+    tensor, no gather; the slice fuses into the consumer add."""
+    b, t, h, _ = q.shape
+    s2 = jnp.einsum("bihd,rd->bhir", q, pe_rel.astype(q.dtype),
+                    preferred_element_type=jnp.float32)  # [b,h,t,2t-1]
+    if t == 1:
+        return s2
+    flat = s2.reshape(b, h, t * (2 * t - 1))
+    flat = jax.lax.slice_in_dim(flat, t - 1, t - 1 + t * (2 * t - 2), axis=2)
+    return flat.reshape(b, h, t, 2 * t - 2)[..., :t]
 
 
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
@@ -364,19 +405,12 @@ class MultiHeadAttention(nn.Module):
                 "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
             )
             if pos is not None:
-                if pos.pos_k is not None and pos.pos_k.shape[0] == t:
-                    pos_k = pos.pos_k
+                if pos.pos_kt is not None and pos.pos_kt.shape[0] == t:
+                    pos_kt = pos.pos_kt
                 else:
-                    # gather the [T, T, d] table (module.py:196-198)
-                    pidx = np.arange(t)
-                    rel = np.clip(
-                        pidx[:, None] - pidx[None, :], -pos.maxlen, pos.maxlen - 1
-                    ) + pos.maxlen
-                    pos_k = jnp.take(
-                        pos.table, jnp.asarray(rel, jnp.int32), axis=0
-                    )
+                    pos_kt = gather_pos_kt(pos.table, t, pos.maxlen)
                 scores = scores + jnp.einsum(
-                    "bihd,ijd->bhij", q, pos_k.astype(q.dtype),
+                    "bihd,idj->bhij", q, pos_kt.astype(q.dtype),
                     preferred_element_type=jnp.float32,
                 )
             scores = scores / math.sqrt(d)
@@ -538,9 +572,9 @@ class GlobalBlock(nn.Module):
     fused_ffn: str = "auto"
 
     @nn.compact
-    def __call__(self, x, pos_k, *, train: bool = False):
+    def __call__(self, x, pos, *, train: bool = False):
         x = EGA(self.dim, self.num_heads, self.dropout,
-                norm_eps=self.norm_eps, name="ega")(x, pos_k, train=train)
+                norm_eps=self.norm_eps, name="ega")(x, pos, train=train)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
                     fused=self.fused_ffn, name="gcfn")(x, train=train)
 

@@ -80,7 +80,7 @@ class RelativePositionalEncoding(nn.Module):
     """Rel-pos key table Embedding(2*maxlen, F/heads) (module.py:42-57).
 
     The index matrix is built once at the bottleneck length and the same
-    pos_k is shared by every global block at every scale (module.py:196-198).
+    RelPos context is shared by every global block at every scale (module.py:196-198).
     """
 
     cfg: ModelConfig
@@ -94,21 +94,22 @@ class RelativePositionalEncoding(nn.Module):
             "pe_k", nn.initializers.normal(1.0),
             (2 * cfg.pos_maxlen, cfg.head_dim),
         )
-        # materialize the gathered table once for the XLA attention path so
-        # its backward does one scatter-add instead of one per block; the
-        # flash-kernel path consumes the raw table (no [L, L, d] tensor)
-        from sepreformer_tpu.models.blocks import resolve_attention_impl
+        # materialize the gathered (and pre-transposed, see RelPos
+        # docstring) table once for the XLA attention path so its backward
+        # does one scatter-add instead of one per block; the flash-kernel
+        # path consumes the raw table (no [L, L, d] tensor)
+        from sepreformer_tpu.models.blocks import (
+            gather_pos_kt,
+            resolve_attention_impl,
+        )
 
-        pos_k = None
-        if resolve_attention_impl(cfg.attention_impl, length) == "xla":
-            pos = np.arange(length)
-            rel = np.clip(
-                pos[:, None] - pos[None, :], -cfg.pos_maxlen, cfg.pos_maxlen - 1
-            ) + cfg.pos_maxlen
-            pos_k = jnp.take(table, jnp.asarray(rel, jnp.int32), axis=0)
+        pos_kt = None
+        if (length > 0
+                and resolve_attention_impl(cfg.attention_impl, length) == "xla"):
+            pos_kt = gather_pos_kt(table, length, cfg.pos_maxlen)
         return RelPos(
             table=table, length=length, maxlen=cfg.pos_maxlen,
-            impl=cfg.attention_impl, pos_k=pos_k,
+            impl=cfg.attention_impl, pos_kt=pos_kt,
         )
 
 
@@ -120,14 +121,14 @@ class SepEncStage(nn.Module):
     down_conv: bool = True
 
     @nn.compact
-    def __call__(self, x, pos_k, *, train: bool = False):
+    def __call__(self, x, pos, *, train: bool = False):
         cfg = self.cfg
         for i in (1, 2):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
                 name=f"global_{i}",
-            )(x, pos_k, train=train)
+            )(x, pos, train=train)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
@@ -148,14 +149,14 @@ class SepDecStage(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, pos_k, *, train: bool = False):
+    def __call__(self, x, pos, *, train: bool = False):
         cfg = self.cfg
         for i in (1, 2, 3):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
                 name=f"global_{i}",
-            )(x, pos_k, train=train)
+            )(x, pos, train=train)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
@@ -182,7 +183,7 @@ class Separator(nn.Module):
         if t_pad > t_in:
             x = jnp.pad(x, ((0, 0), (0, t_pad - t_in), (0, 0)))
         bottleneck_len = t_pad // (2 ** cfg.num_stages)
-        pos_k = RelativePositionalEncoding(cfg, name="pos_emb")(bottleneck_len)
+        pos = RelativePositionalEncoding(cfg, name="pos_emb")(bottleneck_len)
 
         def spk_split(name):
             return SpkSplitStage(
@@ -201,11 +202,11 @@ class Separator(nn.Module):
         skips = []
         for s in range(cfg.num_stages):
             x, skip = SepEncStage(cfg, down_conv=True, name=f"enc_{s}")(
-                x, pos_k, train=train
+                x, pos, train=train
             )
             skips.append(split_for(s)(skip))
         x, _ = SepEncStage(cfg, down_conv=False, name="bottleneck")(
-            x, pos_k, train=train
+            x, pos, train=train
         )
         x = split_for(cfg.num_stages)(x)
 
@@ -216,7 +217,7 @@ class Separator(nn.Module):
             x = nearest_upsample_time(x, skip.shape[1])
             x = jnp.concatenate([x, skip], axis=-1)
             x = TorchLinear(cfg.feat_dim, name=f"fusion_{s}")(x)
-            x = SepDecStage(cfg, name=f"dec_{s}")(x, pos_k, train=train)
+            x = SepDecStage(cfg, name=f"dec_{s}")(x, pos, train=train)
         return x, stage_outputs
 
 

@@ -69,3 +69,31 @@ def test_per_stage_spk_split_variant():
     names = set(variables["params"]["separator"].keys())
     assert "spk_split_0" in names and "spk_split_2" in names
     assert "spk_split" not in names
+
+
+def test_relpos_bias_skew_matches_gather():
+    """The skewing reshape must equal the naive [t,t,d]-gather bias."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sepreformer_tpu.models.blocks import rel_table, relpos_bias_skew
+
+    rng = np.random.default_rng(3)
+    b, t, h, d, maxlen = 2, 7, 2, 4, 5  # t-1 > maxlen exercises the clamp
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(2 * maxlen, d)), jnp.float32)
+    pe_rel = rel_table(table, t, maxlen)
+    got = relpos_bias_skew(q, pe_rel)
+
+    pos = np.arange(t)
+    rel = np.clip(pos[:, None] - pos[None, :], -maxlen, maxlen - 1) + maxlen
+    pos_k = jnp.take(table, jnp.asarray(rel, jnp.int32), axis=0)
+    want = jnp.einsum("bihd,ijd->bhij", q, pos_k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # t == 1 degenerate case
+    got1 = relpos_bias_skew(q[:, :1], rel_table(table, 1, maxlen))
+    want1 = jnp.einsum("bihd,ijd->bhij", q[:, :1],
+                       jnp.take(table, jnp.asarray([[maxlen]]), axis=0))
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               rtol=1e-5, atol=1e-5)

@@ -62,3 +62,40 @@ def test_converted_param_count(reference_base):
     n_flax = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(variables["params"]))
     n_torch = sum(p.numel() for p in ref_model.parameters())
     assert n_flax == n_torch
+
+
+def test_full_model_parity_amplified_branches(reference_base):
+    """Parity with LayerScale boosted to 0.5 in BOTH models.
+
+    At the 1e-5 init, LayerScale crushes every attention/FFN branch below
+    the comparison tolerance, so random-init parity cannot see bugs inside
+    those branches (this test was added after a rel-pos index transpose
+    slipped past test_full_model_parity).  Boosting the scales makes the
+    branch outputs first-order visible.
+    """
+    ref_model, _ = reference_base
+    cfg = get_variant("SepReformer_Base_WSJ0").model
+
+    import copy
+
+    ref_model = copy.deepcopy(ref_model)
+    with torch.no_grad():
+        for name, p in ref_model.named_parameters():
+            if name.endswith(".layer_scale"):
+                p.fill_(0.5)
+
+    t_samples = 4000
+    x = np.random.default_rng(1).normal(scale=0.3,
+                                        size=(1, t_samples)).astype(np.float32)
+    with torch.inference_mode():
+        ref_audio, _ = ref_model(torch.from_numpy(x))
+    ref_audio = np.stack([a.numpy() for a in ref_audio])
+
+    variables = convert_torch_state_dict(ref_model.state_dict(), cfg)
+    model = SepReformer(cfg)
+    audio, _ = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x),
+    )
+    np.testing.assert_allclose(np.asarray(audio), ref_audio,
+                               rtol=5e-3, atol=5e-4)
