@@ -76,13 +76,27 @@ def relpos_bias_skew(q: jnp.ndarray, pe_rel: jnp.ndarray) -> jnp.ndarray:
     reshape: flat[i*(2t-2) + j + (t-1)] of s2 = q @ pe_rel^T — no [t,t,d]
     tensor, no gather; the slice fuses into the consumer add."""
     b, t, h, _ = q.shape
-    s2 = jnp.einsum("bihd,rd->bhir", q, pe_rel.astype(q.dtype),
+    s2 = jnp.einsum("bihd,rd->bhir", dot_operand(q),
+                    dot_operand(pe_rel.astype(q.dtype)),
                     preferred_element_type=jnp.float32)  # [b,h,t,2t-1]
     if t == 1:
         return s2
     flat = s2.reshape(b, h, t * (2 * t - 1))
     flat = jax.lax.slice_in_dim(flat, t - 1, t - 1 + t * (2 * t - 2), axis=2)
     return flat.reshape(b, h, t, 2 * t - 2)[..., :t]
+
+
+def dot_operand(x: jnp.ndarray) -> jnp.ndarray:
+    """Upcast bf16 dot operands to f32 on CPU.
+
+    jax 0.9's CPU thunk runtime cannot execute mixed-precision
+    ``bf16 x bf16 -> f32`` dots ("Unsupported element type for
+    DotThunk::Execute"); the TPU path is untouched (MXU takes bf16
+    operands with f32 accumulation natively).
+    """
+    if x.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        return x.astype(jnp.float32)
+    return x
 
 
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
@@ -402,7 +416,8 @@ class MultiHeadAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
         else:
             scores = jnp.einsum(
-                "bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32
+                "bihd,bjhd->bhij", dot_operand(q), dot_operand(k),
+                preferred_element_type=jnp.float32,
             )
             if pos is not None:
                 if pos.pos_kt is not None and pos.pos_kt.shape[0] == t:
@@ -410,7 +425,8 @@ class MultiHeadAttention(nn.Module):
                 else:
                     pos_kt = gather_pos_kt(pos.table, t, pos.maxlen)
                 scores = scores + jnp.einsum(
-                    "bihd,idj->bhij", q, pos_kt.astype(q.dtype),
+                    "bihd,idj->bhij", dot_operand(q),
+                    dot_operand(pos_kt.astype(q.dtype)),
                     preferred_element_type=jnp.float32,
                 )
             scores = scores / math.sqrt(d)
@@ -457,7 +473,7 @@ class MultiHeadAttention(nn.Module):
 
             def head_scores(qq, kk):
                 return jnp.einsum(
-                    "btf,fh->bth", qq * kk, pool,
+                    "btf,fh->bth", dot_operand(qq * kk), dot_operand(pool),
                     preferred_element_type=jnp.float32,
                 ) * scale
 
@@ -484,7 +500,8 @@ class MultiHeadAttention(nn.Module):
             kh = k.reshape(b, s, t, h, d)
             vh = v.reshape(b, s, t, h, d)
             scores = jnp.einsum(
-                "bpthd,bqthd->bpqth", qh, kh, preferred_element_type=jnp.float32
+                "bpthd,bqthd->bpqth", dot_operand(qh), dot_operand(kh),
+                preferred_element_type=jnp.float32,
             ) / math.sqrt(d)
             attn = jax.nn.softmax(
                 scores.astype(jnp.float32), axis=2
