@@ -52,10 +52,20 @@ class ModelConfig:
     # intermediates are the model's main HBM-bandwidth cost; the fused
     # kernel keeps them in VMEM.
     fused_ffn: str = "auto"
+    # fused EGA-tail+GCFN pair kernel in GlobalBlock (ops/pallas/ega_gcfn):
+    # "auto" currently resolves to OFF — measured slower than XLA's own
+    # tail fusion on v5e (see GlobalBlock) — "on"/"interpret" force it
+    fused_pair: str = "auto"
     # activation dtype policy: "float32" or "bfloat16".  Params stay f32;
     # norms compute statistics in f32 and cast back; softmax in f32; the
     # waveform outputs are cast back to f32 before losses/metrics.
     compute_dtype: str = "float32"
+    # storage dtype of the materialized rel-pos bias path (the gathered
+    # [L, d, L] pos table and the [B, H, L, L] bias product): "auto"
+    # resolves to f32 — bf16 storage measured 5 ms/step SLOWER on v5e
+    # (layout-pathological softmax fusions; see relpos_store_dtype) —
+    # "bfloat16" forces it for re-testing.
+    relpos_dtype: str = "auto"
 
     @property
     def head_dim(self) -> int:

@@ -99,6 +99,20 @@ def dot_operand(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def relpos_store_dtype(setting: str) -> jnp.dtype:
+    """Storage dtype for the materialized rel-pos bias path.
+
+    "auto" -> f32.  bf16 storage was measured and REJECTED: the idea was
+    to halve the [L, d, L] gather relayouts and [B, H, L, L] bias copies
+    (~2.3 ms/step, ARCHITECTURE.md), but a bf16 bias operand makes XLA
+    emit layout-pathological softmax fusions ({3,1,0,2}-major [B, H, L, L]
+    tensors) and the full-model forward regressed 23.4 -> 28.3 ms on v5e.
+    The knob stays for re-testing on other XLA versions."""
+    if setting == "bfloat16":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
     """'auto': XLA wins at train-time bottleneck lengths (L~500, measured
     65 vs 83 ms full-model fwd on v5e — see perf_lab.py); the flash kernel
@@ -301,7 +315,8 @@ class GCFN(nn.Module):
     fused: str = "auto"
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x=None, *, train: bool = False,
+                 return_params: bool = False):
         norm = TorchLayerNorm(self.dim, epsilon=self.norm_eps, name="norm")
         proj_in = TorchLinear(self.dim * 6, in_features=self.dim,
                               name="proj_in")
@@ -311,6 +326,15 @@ class GCFN(nn.Module):
                                name="proj_out")
         layer_scale = LayerScale(self.dim, self.layer_scale_init,
                                  name="layer_scale")
+        if return_params:
+            # raw params for an externally-fused kernel (GlobalBlock's
+            # EGA-tail+GCFN fusion) with an identical parameter tree
+            lns, lnb = norm(return_params=True)
+            win, bin_ = proj_in(return_params=True)
+            wdw, bdw = depthwise(return_params=True)
+            wout, bout = proj_out(return_params=True)
+            ls = layer_scale(return_params=True)
+            return (lns, lnb, win, bin_, wdw[:, 0, :], bdw, wout, bout, ls)
 
         from sepreformer_tpu.ops.pallas.gcfn import fused_gcfn, pick_block
         from sepreformer_tpu.ops.pallas.gcfn_train import pick_train_block
@@ -424,11 +448,19 @@ class MultiHeadAttention(nn.Module):
                     pos_kt = pos.pos_kt
                 else:
                     pos_kt = gather_pos_kt(pos.table, t, pos.maxlen)
-                scores = scores + jnp.einsum(
-                    "bihd,idj->bhij", dot_operand(q),
-                    dot_operand(pos_kt.astype(q.dtype)),
-                    preferred_element_type=jnp.float32,
+                    if pos.pos_kt is not None:
+                        pos_kt = pos_kt.astype(pos.pos_kt.dtype)
+                # bias product stored in the pos-table's dtype: bf16 on TPU
+                # (see relpos_store_dtype) halves its unavoidable layout
+                # copy; the add below upcasts and fuses
+                bias_dt = (jnp.bfloat16 if pos_kt.dtype == jnp.bfloat16
+                           else jnp.float32)
+                bias = jnp.einsum(
+                    "bihd,idj->bhij", dot_operand(q.astype(pos_kt.dtype)),
+                    dot_operand(pos_kt),
+                    preferred_element_type=bias_dt,
                 )
+                scores = scores + bias.astype(scores.dtype)
             scores = scores / math.sqrt(d)
             attn = jax.nn.softmax(
                 scores.astype(jnp.float32), axis=-1
@@ -530,7 +562,8 @@ class EGA(nn.Module):
     norm_eps: float = 1.0e-5
 
     @nn.compact
-    def __call__(self, x, pos: "RelPos", *, train: bool = False):
+    def __call__(self, x, pos: "RelPos", *, train: bool = False,
+                 fused_tail: bool = False):
         from sepreformer_tpu.ops.resample import (
             adaptive_avg_pool_time,
             nearest_upsample_time,
@@ -543,9 +576,17 @@ class EGA(nn.Module):
             self.dim, self.num_heads, self.dropout,
             norm_eps=self.norm_eps, name="attn",
         )(x_down, pos, train=train)
+        gate_norm = TorchLayerNorm(self.dim, epsilon=self.norm_eps,
+                                   name="gate_norm")
+        gate_proj = TorchLinear(self.dim, in_features=self.dim,
+                                name="gate_proj")
+        if fused_tail:
+            # hand (attention output, raw tail params) to GlobalBlock's
+            # fused EGA-tail+GCFN kernel
+            return x_down, (*gate_norm(return_params=True),
+                            *gate_proj(return_params=True))
         x_up = nearest_upsample_time(x_down, t)
-        gate = nn.LayerNorm(epsilon=self.norm_eps, name="gate_norm")(x).astype(x.dtype)
-        gate = jax.nn.sigmoid(TorchLinear(self.dim, name="gate_proj")(gate))
+        gate = jax.nn.sigmoid(gate_proj(gate_norm(x)))
         return x + gate * x_up
 
 
@@ -580,20 +621,54 @@ class CLA(nn.Module):
 
 
 class GlobalBlock(nn.Module):
-    """EGA + GCFN (network.py:189-209)."""
+    """EGA + GCFN (network.py:189-209).
+
+    On TPU the EGA tail (gate -> nearest-upsample -> residual) and the
+    GCFN are fused into one Pallas kernel (ops/pallas/ega_gcfn.py): the
+    tail is pure elementwise + one [F, F] matmul but costs three
+    full-resolution HBM round-trips under XLA.  The fused pair is used
+    for deterministic passes (no GCFN dropout in-kernel); training with
+    dropout > 0 keeps the separate EGA + fused-train-GCFN path.
+    """
 
     dim: int
     num_heads: int
     dropout: float
     norm_eps: float = 1.0e-5
     fused_ffn: str = "auto"
+    fused_pair: str = "auto"
 
     @nn.compact
     def __call__(self, x, pos, *, train: bool = False):
-        x = EGA(self.dim, self.num_heads, self.dropout,
-                norm_eps=self.norm_eps, name="ega")(x, pos, train=train)
-        return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
-                    fused=self.fused_ffn, name="gcfn")(x, train=train)
+        ega = EGA(self.dim, self.num_heads, self.dropout,
+                  norm_eps=self.norm_eps, name="ega")
+        gcfn = GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
+                    fused=self.fused_ffn, name="gcfn")
+
+        from sepreformer_tpu.ops.pallas.ega_gcfn import fused_ega_tail_gcfn
+        from sepreformer_tpu.ops.pallas.gcfn import pick_block
+
+        pair_ok = (
+            pick_block(x.shape[1]) > 0
+            and not (train and self.dropout > 0.0)
+        )
+        # "auto" resolves to OFF: measured on v5e, the pair kernel loses
+        # to XLA's own tail fusion at both Base (23.9 vs 23.4 ms) and
+        # Large (25.7 vs 23.5 ms) — streaming the upsampled tensor through
+        # the kernel costs more than the gate round-trips it saves, and
+        # the earlier in-kernel-upsample formulation cost even more (see
+        # ops/pallas/ega_gcfn.py docstring).  Kept behind "on" for
+        # re-testing on other hardware/XLA versions.
+        use_pair = pair_ok and self.fused_pair in ("on", "interpret")
+        if use_pair:
+            x_down, gate_params = ega(x, pos, train=train, fused_tail=True)
+            gcfn_params = gcfn(return_params=True)
+            return fused_ega_tail_gcfn(
+                x, x_down, gate_params, gcfn_params, self.norm_eps,
+                self.fused_pair == "interpret",
+            )
+        x = ega(x, pos, train=train)
+        return gcfn(x, train=train)
 
 
 class LocalBlock(nn.Module):

@@ -100,13 +100,16 @@ class RelativePositionalEncoding(nn.Module):
         # path consumes the raw table (no [L, L, d] tensor)
         from sepreformer_tpu.models.blocks import (
             gather_pos_kt,
+            relpos_store_dtype,
             resolve_attention_impl,
         )
 
         pos_kt = None
         if (length > 0
                 and resolve_attention_impl(cfg.attention_impl, length) == "xla"):
-            pos_kt = gather_pos_kt(table, length, cfg.pos_maxlen)
+            pos_kt = gather_pos_kt(table, length, cfg.pos_maxlen).astype(
+                relpos_store_dtype(cfg.relpos_dtype)
+            )
         return RelPos(
             table=table, length=length, maxlen=cfg.pos_maxlen,
             impl=cfg.attention_impl, pos_kt=pos_kt,
@@ -127,7 +130,7 @@ class SepEncStage(nn.Module):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
-                name=f"global_{i}",
+                fused_pair=cfg.fused_pair, name=f"global_{i}",
             )(x, pos, train=train)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
@@ -155,7 +158,7 @@ class SepDecStage(nn.Module):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
-                name=f"global_{i}",
+                fused_pair=cfg.fused_pair, name=f"global_{i}",
             )(x, pos, train=train)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,

@@ -58,11 +58,25 @@ def _barrel_extract(s2r: jnp.ndarray, block: int) -> jnp.ndarray:
     return x[:, :block]
 
 
+def pick_block(l: int) -> int:
+    """Single full-length block (power of two for the barrel shifter) when
+    the whole [L, L] score tile fits VMEM comfortably: at the EGA
+    bottleneck length (~500) the 128-row grid's per-program overhead
+    dominated the kernel, so one [512, 512] program per (b, h) amortizes
+    it.  (Even so, XLA still wins the full model at L=500 — 23.4 vs
+    ~29 ms fwd on v5e — so `auto` keeps the 1024 switch-over; this helps
+    the forced-pallas path and mid-length eval buckets.)  Longer
+    sequences keep the 128-row online-softmax pipeline."""
+    if l <= 512:
+        return max(128, 1 << math.ceil(math.log2(l)))
+    return BLOCK
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, pe_ref,
     out_ref,
     acc_ref, m_ref, l_ref,
-    *, sm_scale: float, length: int, nb: int,
+    *, sm_scale: float, length: int, nb: int, block: int,
 ):
     bi = pl.program_id(1)
     bj = pl.program_id(2)
@@ -86,17 +100,17 @@ def _flash_kernel(
     # rel-pos bias: contiguous slice of the ROW-REVERSED pe table; see
     # _build_pe_pad.  band[ii,jj] = q_ii . pe[rel=(bi-bj)*BL + ii - jj]
     # lands at reversed-table offset (nb-1-bi+bj)*BL + (BL-1-ii+jj).
-    off = (nb - 1 - bi + bj) * BLOCK
-    pe_slice = pe_ref[pl.ds(off, 2 * BLOCK), :].astype(q.dtype)
+    off = (nb - 1 - bi + bj) * block
+    pe_slice = pe_ref[pl.ds(off, 2 * block), :].astype(q.dtype)
     s2 = jax.lax.dot_general(
         q, pe_slice, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                          # [BL, 2BL]
-    s = s + _barrel_extract(s2, BLOCK)
+    s = s + _barrel_extract(s2, block)
     s = s * sm_scale
 
     # mask key padding (global j >= length)
-    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1) + bj * BLOCK
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1) + bj * block
     s = jnp.where(col < length, s, NEG_INF)
 
     m_prev = m_ref[:]
@@ -132,15 +146,16 @@ def _build_pe_pad(pe_table: jnp.ndarray, lp: int, maxlen: int) -> jnp.ndarray:
     return jnp.take(pe_table, jnp.asarray(idx, jnp.int32), axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("maxlen", "interpret"))
+@functools.partial(jax.jit, static_argnames=("maxlen", "interpret", "block"))
 def _flash_relpos_attention_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pe_table: jnp.ndarray,
-    maxlen: int, interpret: bool = False,
+    maxlen: int, interpret: bool = False, block: Optional[int] = None,
 ) -> jnp.ndarray:
     b, h, l, d = q.shape
+    block = pick_block(l) if block is None else block
     sm_scale = 1.0 / math.sqrt(d)
-    nb = pl.cdiv(l, BLOCK)
-    lp = nb * BLOCK
+    nb = pl.cdiv(l, block)
+    lp = nb * block
     pad = lp - l
 
     def prep(x):
@@ -151,28 +166,28 @@ def _flash_relpos_attention_impl(
     pe_pad = _build_pe_pad(pe_table, lp, maxlen)
 
     kernel = functools.partial(
-        _flash_kernel, sm_scale=sm_scale, length=l, nb=nb
+        _flash_kernel, sm_scale=sm_scale, length=l, nb=nb, block=block
     )
     out = pl.pallas_call(
         kernel,
         grid=(b * h, nb, nb),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, d), lambda bh, bi, bj: (bh, bi, 0),
+            pl.BlockSpec((1, block, d), lambda bh, bi, bj: (bh, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, d), lambda bh, bi, bj: (bh, bj, 0),
+            pl.BlockSpec((1, block, d), lambda bh, bi, bj: (bh, bj, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, d), lambda bh, bi, bj: (bh, bj, 0),
+            pl.BlockSpec((1, block, d), lambda bh, bi, bj: (bh, bj, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * lp, d), lambda bh, bi, bj: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK, d), lambda bh, bi, bj: (bh, bi, 0),
+        out_specs=pl.BlockSpec((1, block, d), lambda bh, bi, bj: (bh, bi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, lp, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, d), jnp.float32),
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, pe_pad)

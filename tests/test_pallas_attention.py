@@ -24,10 +24,22 @@ def _rand_qkvpe(rng, b=2, h=2, l=200, d=16, maxlen=256):
     return q, k, v, pe
 
 
-@pytest.mark.parametrize("l", [128, 200, 256, 384])
+@pytest.mark.parametrize("l", [128, 200, 256, 384, 500])
 def test_flash_matches_reference(rng, l):
     q, k, v, pe = _rand_qkvpe(rng, l=l, maxlen=512)
     out = _flash_relpos_attention_impl(q, k, v, pe, 512, interpret=True)
+    ref = relpos_attention_reference(q, k, v, pe, 512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("block", [128, 256])
+def test_flash_forced_block_matches_reference(rng, block):
+    """Multi-block online-softmax path at a length where auto would pick a
+    single full-length block."""
+    q, k, v, pe = _rand_qkvpe(rng, l=500, maxlen=512)
+    out = _flash_relpos_attention_impl(q, k, v, pe, 512, interpret=True,
+                                       block=block)
     ref = relpos_attention_reference(q, k, v, pe, 512)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
