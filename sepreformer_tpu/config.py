@@ -52,6 +52,13 @@ class ModelConfig:
     # intermediates are the model's main HBM-bandwidth cost; the fused
     # kernel keeps them in VMEM.
     fused_ffn: str = "auto"
+    # fused Pallas CLA local block (ops/pallas/cla): "auto" currently
+    # resolves to OFF — measured slower than XLA on v5e (27.96 vs
+    # 23.85 ms full-model: the in-kernel k65 tap-loop conv is VPU-bound
+    # while XLA's depthwise lowering uses the MXU; see CLA in blocks.py)
+    # — "on"/"interpret" force it.  Eval semantics only (folded
+    # running-stats BatchNorm); training keeps the XLA path.
+    fused_local: str = "auto"
     # fused EGA-tail+GCFN pair kernel in GlobalBlock (ops/pallas/ega_gcfn):
     # "auto" currently resolves to OFF — measured slower than XLA's own
     # tail fusion on v5e (see GlobalBlock) — "on"/"interpret" force it

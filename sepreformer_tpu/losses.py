@@ -84,13 +84,28 @@ def pit_sisnr_time(
     est: jnp.ndarray,
     src: jnp.ndarray,
     scale_inv: bool = True,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """uPIT time-domain SI-SNR training loss (criterions.py:178-217).
 
     est, src: [spks, B, T].  Returns scalar: mean over utterances of the
     min-permutation summed speaker loss (caller divides by num_spks).
+
+    impl: "auto" (fused Pallas pairwise table on TPU, XLA elsewhere),
+    "xla", "pallas", "interpret".
     """
-    pair = sisnr_pairwise_neg(est, src, scale_inv=scale_inv)
+    from sepreformer_tpu.ops.pallas import pit as pit_kernel
+
+    use_fused = (
+        impl in ("pallas", "interpret")
+        or (impl == "auto" and jax.default_backend() == "tpu")
+    ) and pit_kernel.supports(est.shape[-1], est.shape[0])
+    if use_fused:
+        pair = pit_kernel.sisnr_pairwise_neg_fused(
+            est, src, scale_inv, 1.0e-8, -30.0, impl == "interpret"
+        )
+    else:
+        pair = sisnr_pairwise_neg(est, src, scale_inv=scale_inv)
     totals = _gather_perm_totals(pair)            # [P, B]
     return jnp.mean(jnp.min(totals, axis=0))
 

@@ -280,6 +280,48 @@ class LayerScale(nn.Module):
         return x * scale.astype(x.dtype)
 
 
+class FoldableBatchNorm(nn.Module):
+    """BatchNorm with ``nn.BatchNorm``-identical param/variable names and
+    math (params scale/bias, batch_stats mean/var, f32 statistics, biased
+    variance, per-replica stats), plus ``return_folded=True`` which returns
+    the running-stats normalization folded to an affine (s, t) with
+    y = x*s + t — consumed by the fused CLA kernel.  The fold happens in
+    regular jax (outside the kernel's custom_vjp), so gamma/beta gradients
+    flow through it."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1.0e-5
+
+    @nn.compact
+    def __call__(self, x=None, *, use_running_average: bool = True,
+                 return_folded: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda s: jnp.zeros(s, jnp.float32), (self.features,))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda s: jnp.ones(s, jnp.float32), (self.features,))
+        if return_folded:
+            s = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return s, bias - ra_mean.value * s
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(xf * xf, axis=red) - mean * mean
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
+
+
 class TorchLayerNorm(nn.Module):
     """LayerNorm with f32 statistics and flax-compatible param names
     (scale/bias), exposing raw params for fused kernels."""
@@ -602,22 +644,62 @@ class CLA(nn.Module):
     dropout: float
     layer_scale_init: float = 1.0e-5
     norm_eps: float = 1.0e-5
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = nn.LayerNorm(epsilon=self.norm_eps, name="norm")(x).astype(x.dtype)
-        y = TorchLinear(self.dim * 2, name="proj_in")(y)
+        norm = TorchLayerNorm(self.dim, epsilon=self.norm_eps, name="norm")
+        proj_in = TorchLinear(self.dim * 2, in_features=self.dim,
+                              name="proj_in")
+        depthwise = DepthwiseConv1d(self.kernel_size, padding="SAME",
+                                    features=self.dim, name="depthwise")
+        proj_mid = TorchLinear(self.dim * 2, in_features=self.dim,
+                               name="proj_mid")
+        bn = FoldableBatchNorm(self.dim * 2, momentum=0.9,
+                               epsilon=self.norm_eps, name="bn")
+        proj_out = TorchLinear(self.dim, in_features=self.dim * 2,
+                               name="proj_out")
+        layer_scale = LayerScale(self.dim, self.layer_scale_init,
+                                 name="layer_scale")
+
+        from sepreformer_tpu.ops.pallas.cla import fused_cla, pick_block
+
+        # the fused kernel has eval semantics only: folded running-stats
+        # BatchNorm, no dropout (eval never drops anyway).  "auto" resolves
+        # to OFF: measured on v5e (B=4 x 4 s, f32) the fused block LOSES —
+        # 27.96 vs 23.85 ms full-model forward — because the in-kernel k65
+        # tap-loop conv is VPU-bound (~8 GFLOP at ~2 TF/s ~= 4 ms/model)
+        # while XLA's depthwise lowering rides the MXU near SoL (~210 us
+        # per full-res conv); the ~2 ms of HBM round-trips the fusion
+        # saves cannot pay for that.  Kept behind "on"/"interpret" for
+        # re-testing on other hardware.
+        use_fused = (
+            not train
+            and self.fused in ("on", "interpret")
+            and pick_block(x.shape[1], self.dim) > 0
+        )
+        if use_fused:
+            lns, lnb = norm(return_params=True)
+            w_in, b_in = proj_in(return_params=True)
+            wdw, bdw = depthwise(return_params=True)
+            w_mid, b_mid = proj_mid(return_params=True)
+            bn_s, bn_t = bn(return_folded=True)
+            w_out, b_out = proj_out(return_params=True)
+            ls = layer_scale(return_params=True)
+            params = (lns, lnb, w_in, b_in, wdw[:, 0, :], bdw, w_mid,
+                      b_mid, bn_s, bn_t, w_out, b_out, ls)
+            return fused_cla(x, params, self.norm_eps,
+                             self.fused == "interpret")
+        y = norm(x)
+        y = proj_in(y)
         y = glu_last(y)
-        y = DepthwiseConv1d(self.kernel_size, padding="SAME", name="depthwise")(y)
-        y = TorchLinear(self.dim * 2, name="proj_mid")(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9,
-            epsilon=self.norm_eps, name="bn",
-        )(y).astype(x.dtype)
+        y = depthwise(y)
+        y = proj_mid(y)
+        y = bn(y, use_running_average=not train).astype(x.dtype)
         y = gelu_exact(y)
-        y = TorchLinear(self.dim, name="proj_out")(y)
+        y = proj_out(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return x + LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(y)
+        return x + layer_scale(y)
 
 
 class GlobalBlock(nn.Module):
@@ -679,11 +761,13 @@ class LocalBlock(nn.Module):
     dropout: float
     norm_eps: float = 1.0e-5
     fused_ffn: str = "auto"
+    fused_local: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = CLA(self.dim, self.kernel_size, self.dropout,
-                norm_eps=self.norm_eps, name="cla")(x, train=train)
+                norm_eps=self.norm_eps, fused=self.fused_local,
+                name="cla")(x, train=train)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
                     fused=self.fused_ffn, name="gcfn")(x, train=train)
 

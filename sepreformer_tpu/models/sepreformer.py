@@ -135,7 +135,7 @@ class SepEncStage(nn.Module):
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
-                name=f"local_{i}",
+                fused_local=cfg.fused_local, name=f"local_{i}",
             )(x, train=train)
         skip = x
         if self.down_conv:
@@ -163,7 +163,7 @@ class SepDecStage(nn.Module):
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
-                name=f"local_{i}",
+                fused_local=cfg.fused_local, name=f"local_{i}",
             )(x, train=train)
             x = SpkAttention(
                 cfg.feat_dim, cfg.num_heads, cfg.num_spks, cfg.dropout,
