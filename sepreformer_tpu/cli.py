@@ -33,6 +33,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint/log dir (default: models/<name>)")
     p.add_argument("--scp-root", default=".",
                    help="directory containing the scp_dir from the config")
+    p.add_argument("--scp-dir", default=None,
+                   help="override the config's scp manifest directory")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="SECTION.KEY=VALUE",
+                   help="override any config field by dotted path, e.g. "
+                        "--set optim.warmup_steps=100 (repeatable; the "
+                        "reference has no CLI-over-YAML overrides)")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override the config's train batch size")
+    p.add_argument("--max-epoch", type=int, default=None,
+                   help="override the config's training epoch count")
     p.add_argument("--config", default=None,
                    help="optional reference-format configs.yaml to load "
                         "instead of the named preset")
@@ -57,7 +68,12 @@ def main(argv: Optional[list] = None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
 
-    from sepreformer_tpu.config import available_variants, from_reference_yaml, get_variant
+    from sepreformer_tpu.config import (
+        apply_override,
+        available_variants,
+        from_reference_yaml,
+        get_variant,
+    )
 
     if args.list_models:
         print("\n".join(available_variants()))
@@ -67,6 +83,24 @@ def main(argv: Optional[list] = None) -> int:
         cfg = from_reference_yaml(args.config, name=args.model)
     else:
         cfg = get_variant(args.model)
+
+    from dataclasses import replace
+
+    if args.scp_dir is not None:
+        cfg = replace(cfg, dataset=replace(cfg.dataset, scp_dir=args.scp_dir))
+    if args.batch_size is not None:
+        cfg = replace(cfg, dataset=replace(cfg.dataset,
+                                           batch_size=args.batch_size))
+    if args.max_epoch is not None:
+        cfg = replace(cfg, engine=replace(cfg.engine,
+                                          max_epoch=args.max_epoch))
+    for ov in args.overrides:
+        if "=" not in ov:
+            print(f"--set expects SECTION.KEY=VALUE, got {ov!r}",
+                  file=sys.stderr)
+            return 2
+        dotted, _, raw = ov.partition("=")
+        cfg = apply_override(cfg, dotted.strip(), raw.strip())
 
     if args.engine_mode == "test_wav":  # README spelling (README.md:109)
         args.engine_mode = "test_save"

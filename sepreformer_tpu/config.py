@@ -357,3 +357,54 @@ def from_reference_yaml(path: str | pathlib.Path, name: str = "custom") -> Varia
         name=name, model=model, criterion=criterion, optim=optim,
         dataset=dataset, engine=engine,
     )
+
+
+def _coerce(raw: str, current: Any) -> Any:
+    """Coerce a CLI string to the type of the field's current value."""
+    if isinstance(current, bool):
+        if raw.lower() in ("true", "1", "yes", "on"):
+            return True
+        if raw.lower() in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"expected bool, got {raw!r}")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        elems = [e for e in raw.split(",") if e != ""]
+        elem_type = type(current[0]) if current else str
+        return tuple(elem_type(e) for e in elems)
+    if isinstance(current, str) or current is None:
+        return raw
+    raise ValueError(f"cannot coerce {raw!r} to {type(current).__name__}")
+
+
+def apply_override(cfg: VariantConfig, dotted: str, raw: str) -> VariantConfig:
+    """Override one config field by dotted path, e.g.
+    ``apply_override(cfg, "optim.warmup_steps", "100")``.
+
+    The reference has no CLI-over-YAML override mechanism (SURVEY.md §5) —
+    every experiment edits configs.yaml in place.  This powers the CLI's
+    ``--set section.key=value`` flags; values are coerced to the type of
+    the existing field, unknown paths are errors.
+    """
+    keys = dotted.split(".")
+
+    def rec(obj: Any, path: Sequence[str]) -> Any:
+        k = path[0]
+        if not dataclasses.is_dataclass(obj) or k not in {
+            f.name for f in dataclasses.fields(obj)
+        }:
+            raise KeyError(
+                f"no config field {dotted!r} (failed at {k!r} on "
+                f"{type(obj).__name__})"
+            )
+        cur = getattr(obj, k)
+        if len(path) == 1:
+            if dataclasses.is_dataclass(cur):
+                raise KeyError(f"{dotted!r} is a section, not a field")
+            return replace(obj, **{k: _coerce(raw, cur)})
+        return replace(obj, **{k: rec(cur, path[1:])})
+
+    return rec(cfg, keys)

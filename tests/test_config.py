@@ -57,3 +57,28 @@ def test_reference_yaml_roundtrip(variant):
     assert parsed.optim.lr == preset.optim.lr
     assert parsed.optim.plateau_patience == preset.optim.plateau_patience
     assert parsed.engine.max_epoch == preset.engine.max_epoch
+
+
+def test_apply_override_paths_and_coercion():
+    from sepreformer_tpu.config import apply_override, get_variant
+
+    cfg = get_variant("SepReformer_T")
+    cfg = apply_override(cfg, "optim.warmup_steps", "100")
+    cfg = apply_override(cfg, "dataset.train_sources", "a.scp,b.scp")
+    cfg = apply_override(cfg, "engine.test_epochs", "10,20")
+    cfg = apply_override(cfg, "model.dropout", "0.0")
+    cfg = apply_override(cfg, "dataset.dynamic_mixing", "true")
+    assert cfg.optim.warmup_steps == 100
+    assert cfg.dataset.train_sources == ("a.scp", "b.scp")
+    assert cfg.engine.test_epochs == (10, 20)
+    assert cfg.model.dropout == 0.0
+    assert cfg.dataset.dynamic_mixing is True
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        apply_override(cfg, "optim.nope", "1")
+    with pytest.raises(KeyError):
+        apply_override(cfg, "optim", "1")
+    with pytest.raises(ValueError):
+        apply_override(cfg, "dataset.dynamic_mixing", "maybe")
