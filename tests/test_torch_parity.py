@@ -99,3 +99,63 @@ def test_full_model_parity_amplified_branches(reference_base):
     )
     np.testing.assert_allclose(np.asarray(audio), ref_audio,
                                rtol=5e-3, atol=5e-4)
+
+
+def test_export_roundtrip_into_reference_model(reference_base):
+    """flax → torch direction: a flax-initialized model exported with
+    export_torch_state_dict must load into the reference model with
+    strict=True (full key coverage) and produce allclose outputs."""
+    import jax
+
+    from sepreformer_tpu.models.convert import export_torch_state_dict
+
+    ref_model, _ = reference_base
+    cfg = get_variant("SepReformer_Base_WSJ0").model
+
+    model = SepReformer(cfg)
+    x = np.random.default_rng(3).normal(size=(1, 4000)).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.key(42), jnp.asarray(x))
+
+    sd = {k: (torch.from_numpy(np.ascontiguousarray(v)) if np.ndim(v) else
+              torch.tensor(v))
+          for k, v in export_torch_state_dict(variables, cfg).items()}
+    missing, unexpected = ref_model.load_state_dict(sd, strict=True)
+    assert not missing and not unexpected
+
+    with torch.inference_mode():
+        ref_audio, _ = ref_model(torch.from_numpy(x))
+    ref_audio = np.stack([a.numpy() for a in ref_audio])
+
+    audio, _ = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(audio), ref_audio,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_save_torch_checkpoint_reference_schema(reference_base, tmp_path):
+    """save_torch_checkpoint writes the reference epoch.NNNN.pth schema
+    (util_engine.py:96-106) and load_torch_checkpoint round-trips it."""
+    import jax
+
+    from sepreformer_tpu.models.convert import (
+        load_torch_checkpoint,
+        save_torch_checkpoint,
+    )
+
+    cfg = get_variant("SepReformer_Base_WSJ0").model
+    model = SepReformer(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 4000), jnp.float32))
+
+    path = str(tmp_path / "epoch.0001.pth")
+    save_torch_checkpoint(path, variables, cfg, epoch=1,
+                          train_loss=-1.0, valid_loss=-2.0)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"epoch", "model_state_dict",
+                         "optimizer_state_dict", "train_loss", "valid_loss"}
+
+    back = load_torch_checkpoint(path, cfg)
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(back["params"])):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=0, atol=0)
