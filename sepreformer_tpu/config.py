@@ -130,6 +130,12 @@ class OptimConfig:
     plateau_factor: float = 0.8
     plateau_patience: int = 2     # 3 for WHAM (its configs.yaml:118)
     plateau_min_lr: float = 1.0e-10
+    # gradient accumulation: the train step splits the batch into this many
+    # sequential micro-batches (lax.scan) and applies one update on the
+    # mean gradient — large effective batches within one chip's HBM.
+    # BN running stats update per micro-batch; clip/AdamW see the mean
+    # gradient, matching a single big-batch step.  (Not in the reference.)
+    accum_steps: int = 1
 
 
 @dataclass(frozen=True)

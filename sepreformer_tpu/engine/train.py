@@ -100,11 +100,15 @@ def compute_losses(
     return time_loss, metrics
 
 
-def make_train_step(cfg: VariantConfig, donate: bool = True):
+def make_train_step(cfg: VariantConfig, donate: bool = True,
+                    debug_grads: bool = False):
     """Build the jitted train step.
 
     signature: (state, mixture [B,T], sources [spks,B,T], lr scalar,
     alpha scalar, dropout_rng) -> (state, metrics)
+
+    ``debug_grads`` adds the raw (pre-clip) gradient tree to the metrics —
+    for tests/debugging only.
     """
     model = SepReformer(cfg.model)
     tx = make_optimizer(cfg)
@@ -132,11 +136,45 @@ def make_train_step(cfg: VariantConfig, donate: bool = True):
         metrics["total_loss"] = total
         return total, (metrics, mutated["batch_stats"])
 
+    accum = max(1, cfg.optim.accum_steps)
+
     def train_step(state: TrainState, mixture, sources, lr, alpha, rng):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, mixture, sources, alpha, rng
-        )
+        if accum == 1:
+            (_, (metrics, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, mixture, sources, alpha, rng
+            )
+        else:
+            # sequential micro-batches: peak activation memory is one
+            # micro-batch's; the update sees the mean gradient
+            batch = mixture.shape[0]
+            if batch % accum:
+                raise ValueError(
+                    f"batch {batch} not divisible by accum_steps {accum}"
+                )
+            micro = batch // accum
+            mb_mix = mixture.reshape(accum, micro, -1)
+            mb_src = sources.reshape(
+                sources.shape[0], accum, micro, -1
+            ).transpose(1, 0, 2, 3)
+
+            def body(carry, xs):
+                stats, gacc = carry
+                mix_i, src_i, i = xs
+                (_, (m, new_stats)), g = grad_fn(
+                    state.params, stats, mix_i, src_i, alpha,
+                    jax.random.fold_in(rng, i),
+                )
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                return (new_stats, gacc), m
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, gsum), metric_seq = jax.lax.scan(
+                body, (state.batch_stats, zeros),
+                (mb_mix, mb_src, jnp.arange(accum)),
+            )
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            metrics = jax.tree.map(lambda m: m.mean(0), metric_seq)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: lr * u, updates)
         new_params = optax.apply_updates(state.params, updates)
@@ -147,6 +185,8 @@ def make_train_step(cfg: VariantConfig, donate: bool = True):
             opt_state=new_opt_state,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
+        if debug_grads:
+            metrics["grads"] = grads
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()

@@ -163,3 +163,65 @@ def test_lr_controller_semantics():
     ctl2 = LRController(1.0, 10, 0.5, 1, 1e-10)
     ctl2.load_state_dict(d)
     assert ctl2.lr == ctl.lr
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """accum_steps=2 on a duplicated batch equals the accum_steps=1 step
+    exactly: with both halves identical, per-micro BN statistics equal the
+    full-batch statistics, so the mean gradient (and the AdamW update on
+    it) must match to float tolerance."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sepreformer_tpu.config import (
+        ModelConfig,
+        OptimConfig,
+        VariantConfig,
+    )
+    from sepreformer_tpu.engine.train import create_train_state, make_train_step
+
+    model = ModelConfig(
+        num_stages=1, num_spks=2, enc_dim=16, enc_kernel=16, enc_stride=4,
+        feat_dim=16, num_heads=2, pos_maxlen=64, local_kernel=9,
+        down_kernel=5, dropout=0.0,
+    )
+    base = VariantConfig(name="accum-test", model=model,
+                         optim=OptimConfig(lr=1e-3))
+    accum = replace(base, optim=replace(base.optim, accum_steps=2))
+
+    t = 2000
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(scale=0.1, size=(2, t)), jnp.float32)
+    s = jnp.asarray(rng.normal(scale=0.05, size=(2, 2, t)), jnp.float32)
+    # duplicated halves -> micro-batch BN stats == full-batch BN stats
+    x2 = jnp.concatenate([x, x], axis=0)
+    s2 = jnp.concatenate([s, s], axis=1)
+
+    state = create_train_state(base, jax.random.key(0), sample_len=t)
+    key = jax.random.key(1)
+    lr, alpha = jnp.float32(1e-3), jnp.float32(0.4)
+
+    s_a, m_a = make_train_step(base, donate=False, debug_grads=True)(
+        state, x2, s2, lr, alpha, key)
+    s_b, m_b = make_train_step(accum, donate=False, debug_grads=True)(
+        state, x2, s2, lr, alpha, key)
+
+    np.testing.assert_allclose(float(m_a["total_loss"]),
+                               float(m_b["total_loss"]), rtol=1e-5)
+    # compare the mean gradients, not post-Adam params: Adam's first step is
+    # lr*sign(g), which flips on fp-noise-level gradient differences
+    norm = float(m_a["grad_norm"])
+    for a, b in zip(jax.tree.leaves(m_a["grads"]),
+                    jax.tree.leaves(m_b["grads"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5 * norm)
+
+    # non-divisible batch is an error
+    import pytest
+
+    bad = replace(base, optim=replace(base.optim, accum_steps=3))
+    with pytest.raises(ValueError):
+        make_train_step(bad, donate=False)(state, x2, s2, lr, alpha, key)
