@@ -73,6 +73,11 @@ class ModelConfig:
     # (layout-pathological softmax fusions; see relpos_store_dtype) —
     # "bfloat16" forces it for re-testing.
     relpos_dtype: str = "auto"
+    # wrap the materialized pos_kt in lax.optimization_barrier so XLA
+    # cannot re-fuse the gather+transpose into each of the 22 consuming
+    # bias dots (profiling showed a ~190 us relayout copy per consumer on
+    # v5e).  "auto" resolves per measurement below; "on"/"off" force it.
+    relpos_barrier: str = "auto"
 
     @property
     def head_dim(self) -> int:

@@ -110,6 +110,13 @@ class RelativePositionalEncoding(nn.Module):
             pos_kt = gather_pos_kt(table, length, cfg.pos_maxlen).astype(
                 relpos_store_dtype(cfg.relpos_dtype)
             )
+            if cfg.relpos_barrier == "on":
+                # freeze the materialization: without the barrier XLA
+                # re-fuses the gather into every consuming bias dot and
+                # each pays its own relayout copy (ARCHITECTURE.md)
+                import jax
+
+                pos_kt = jax.lax.optimization_barrier(pos_kt)
         return RelPos(
             table=table, length=length, maxlen=cfg.pos_maxlen,
             impl=cfg.attention_impl, pos_kt=pos_kt,

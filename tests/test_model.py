@@ -97,3 +97,32 @@ def test_relpos_bias_skew_matches_gather():
                        jnp.take(table, jnp.asarray([[maxlen]]), axis=0))
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_relpos_barrier_equivalence():
+    """relpos_barrier=on must not change outputs (it is a pure XLA
+    scheduling hint around the materialized pos_kt)."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sepreformer_tpu.config import ModelConfig
+    from sepreformer_tpu.models import SepReformer
+
+    cfg = ModelConfig(
+        num_stages=2, num_spks=2, enc_dim=32, enc_kernel=16, enc_stride=4,
+        feat_dim=32, num_heads=4, pos_maxlen=128, local_kernel=17,
+        down_kernel=5, dropout=0.0, attention_impl="xla",
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 4000)), jnp.float32)
+    model = SepReformer(cfg)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    audio, _ = jax.jit(model.apply)(variables, x)
+
+    model_b = SepReformer(replace(cfg, relpos_barrier="on"))
+    audio_b, _ = jax.jit(model_b.apply)(variables, x)
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(audio_b),
+                               rtol=0, atol=1e-6)
