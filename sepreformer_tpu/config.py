@@ -186,6 +186,13 @@ class EngineConfig:
     # beating the session-initial validation loss.  False (default) =
     # proper best tracking across the run
     strict_reference_best: bool = False
+    # log a running-mean loss line every N train steps (0 = per-epoch
+    # only); the reference shows this in a tqdm postfix (engine.py:78-80)
+    log_every_steps: int = 0
+    # also checkpoint every Nth epoch regardless of valid loss (0 = off);
+    # the reference ships an unused save_checkpoint_per_nth
+    # (util_engine.py:49-78) — here it is a crash-safety net
+    save_every_n_epochs: int = 0
 
 
 @dataclass(frozen=True)

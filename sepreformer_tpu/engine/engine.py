@@ -172,6 +172,15 @@ class Engine:
             tot_time += float(metrics["time_loss"]) / self.cfg.model.num_spks
             tot_mag += float(metrics["mag_loss_mean"]) / self.cfg.model.num_spks
             n += 1
+            every = self.cfg.engine.log_every_steps
+            if every and n % every == 0:
+                # running-mean postfix, the reference's tqdm equivalent
+                # (engine.py:78-80)
+                log.info(
+                    "epoch %d step %d/%d: T_loss %.4f F_loss %.4f lr %.2e",
+                    epoch, n, len(loader), tot_time / n, tot_mag / n,
+                    self.lr_ctl.lr,
+                )
         return {"time_loss": tot_time / max(1, n), "mag_loss": tot_mag / max(1, n)}
 
     def _validate(self) -> Dict[str, float]:
@@ -326,8 +335,13 @@ class Engine:
                 self.lr_ctl.plateau_step(valid_loss)
             if epoch in self.cfg.engine.test_epochs and "test" in self.loaders:
                 self._test(compute_sdr=False)
-            if valid_loss < self.best_valid:
-                self.best_valid = valid_loss
+            nth = self.cfg.engine.save_every_n_epochs
+            if valid_loss < self.best_valid or (nth and epoch % nth == 0):
+                # best-checkpoint policy (util_engine.py:80-111) plus the
+                # reference's (unused) periodic save_checkpoint_per_nth
+                # (util_engine.py:49-78) as an opt-in crash-safety net
+                if valid_loss < self.best_valid:
+                    self.best_valid = valid_loss
                 save_checkpoint(
                     self.ckpt_dir, epoch, self.state,
                     extra={

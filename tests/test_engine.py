@@ -225,3 +225,21 @@ def test_gradient_accumulation_matches_big_batch():
     bad = replace(base, optim=replace(base.optim, accum_steps=3))
     with pytest.raises(ValueError):
         make_train_step(bad, donate=False)(state, x2, s2, lr, alpha, key)
+
+
+def test_periodic_checkpoint_and_step_logging(corpus, tmp_path, caplog):
+    """save_every_n_epochs checkpoints even when valid loss regresses;
+    log_every_steps emits running-mean lines."""
+    import logging as _logging
+
+    from sepreformer_tpu.engine.checkpoint import latest_epoch
+
+    cfg = tiny_variant(corpus, save_every_n_epochs=1, log_every_steps=1)
+    loaders = build_dataloaders(cfg.dataset, "train", scp_root=corpus)
+    workdir = str(tmp_path / "work")
+    engine = Engine(cfg, workdir, loaders)
+    with caplog.at_level(_logging.INFO, logger="sepreformer_tpu"):
+        engine.run("train")
+    # every epoch checkpointed regardless of best tracking
+    assert latest_epoch(engine.ckpt_dir) == cfg.engine.max_epoch - 1
+    assert any("step 1/" in r.message for r in caplog.records)
