@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -286,6 +287,7 @@ class DataLoader:
         prefetch: int = 4,
         eval_bucket: int = 4000,
         sort_by_length: bool = False,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -298,6 +300,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.eval_bucket = eval_bucket
         self.sort_by_length = sort_by_length
+        self.num_workers = max(1, num_workers)
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -339,17 +342,39 @@ class DataLoader:
             batches.pop()
         rng = np.random.default_rng((self.seed, self._epoch, self.host_id))
 
+        pool = (
+            ThreadPoolExecutor(self.num_workers)
+            if self.num_workers > 1 else None
+        )
+
         def produce(out_q: queue.Queue):
             try:
                 for group in batches:
-                    items = []
-                    for key in group:
-                        mix, srcs = self.dataset.load(key, rng)
-                        items.append((mix, srcs, key))
+                    if pool is None:
+                        items = [
+                            (*self.dataset.load(key, rng), key)
+                            for key in group
+                        ]
+                    else:
+                        # per-item child generators, spawned sequentially:
+                        # crops/remixes are deterministic in (seed, epoch,
+                        # item index) regardless of thread scheduling
+                        rngs = rng.spawn(len(group))
+                        futs = [
+                            pool.submit(self.dataset.load, key, r)
+                            for key, r in zip(group, rngs)
+                        ]
+                        items = [
+                            (*f.result(), key)
+                            for f, key in zip(futs, group)
+                        ]
                     out_q.put(collate(items, self.pad_to, self.eval_bucket))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to consumer
                 out_q.put(e)
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -382,6 +407,7 @@ def build_dataloaders(
                 ds, batch_size=cfg.eval_batch_size, shuffle=False,
                 pad_to=None, seed=seed,
                 sort_by_length=cfg.eval_batch_size > 1,
+                num_workers=cfg.num_workers,
             )
         else:
             loaders[part] = DataLoader(
@@ -393,5 +419,6 @@ def build_dataloaders(
                 host_id=host_id,
                 num_hosts=num_hosts,
                 drop_last=True,
+                num_workers=cfg.num_workers,
             )
     return loaders
