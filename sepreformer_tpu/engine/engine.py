@@ -192,7 +192,15 @@ class Engine:
             tot_time += float(metrics["time_loss"]) / self.cfg.model.num_spks
             tot_mag += float(metrics["mag_loss_mean"]) / self.cfg.model.num_spks
             n += 1
-        return {"time_loss": tot_time / max(1, n), "mag_loss": tot_mag / max(1, n)}
+        # valid loaders are host-sharded (build_dataloaders); the plateau
+        # LR and best-checkpoint decisions branch on this value, so it must
+        # be the identical global mean on every host or the cluster's
+        # learning rates diverge
+        from sepreformer_tpu.parallel.distributed import global_sum_scalars
+
+        tot_time, tot_mag, n = global_sum_scalars((tot_time, tot_mag, n))
+        return {"time_loss": tot_time / max(1.0, n),
+                "mag_loss": tot_mag / max(1.0, n)}
 
     def _test(self, wav_dir: Optional[str] = None, compute_sdr: bool = True):
         """Per-utterance SI-SNRi (+SDRi) with CSV dumps (engine.py:113-149).

@@ -56,3 +56,22 @@ def initialize_distributed(
     except Exception as e:
         log.warning("jax.distributed.initialize failed: %s", e)
         return False
+
+
+def global_sum_scalars(values) -> list:
+    """Sum host-local python scalars across all processes.
+
+    Every host receives the identical result, so host-driven control flow
+    (plateau LR, best-checkpoint selection — engine.run) stays in lockstep
+    across the cluster.  Single-process runs return the inputs unchanged.
+    """
+    import jax
+
+    vals = [float(v) for v in values]
+    if jax.process_count() == 1:
+        return vals
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(vals, np.float32))
+    return [float(x) for x in np.asarray(gathered).sum(axis=0)]

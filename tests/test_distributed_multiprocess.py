@@ -53,6 +53,14 @@ def global_sum(x):
 total = float(global_sum(garr))
 # shards: proc0 contributes 2*4*1, proc1 contributes 2*4*2 -> 24
 assert total == 24.0, total
+
+# host-driven control values must reduce identically on every host:
+# this is what keeps plateau-LR decisions in lockstep (engine._validate)
+from sepreformer_tpu.parallel.distributed import global_sum_scalars
+local_valid = [10.0 * (pid + 1), 2.0 * (pid + 1), 3.0]
+summed = global_sum_scalars(local_valid)
+assert summed == [30.0, 6.0, 6.0], summed
+
 print(f"proc {pid} OK total={total}")
 """
 
