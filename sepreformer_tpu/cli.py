@@ -112,8 +112,23 @@ def main(argv: Optional[list] = None) -> int:
 
     import jax
 
+    from sepreformer_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
     host_id = jax.process_index()
     num_hosts = jax.process_count()
+
+    # device mesh: explicit flags win; otherwise span all devices with a
+    # pure data-parallel layout (the reference's DataParallel equivalent).
+    # Train-mode only: eval/infer batches (often 1 utterance) don't divide
+    # over the data axis.
+    mesh = None
+    if args.engine_mode == "train" and (
+        jax.device_count() > 1 or args.model_parallel > 1
+    ):
+        from sepreformer_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(args.data_parallel, args.model_parallel)
 
     loaders = {}
     if args.engine_mode != "infer_sample":
@@ -131,7 +146,7 @@ def main(argv: Optional[list] = None) -> int:
     except Exception as e:
         logging.getLogger("sepreformer_tpu").debug("summary failed: %s", e)
 
-    engine = Engine(cfg, workdir, loaders, seed=args.seed)
+    engine = Engine(cfg, workdir, loaders, seed=args.seed, mesh=mesh)
 
     if args.checkpoint:
         from sepreformer_tpu.models.convert import load_torch_checkpoint

@@ -327,9 +327,13 @@ class DataLoader:
         return list(keys)
 
     def __len__(self) -> int:
-        n = len(self.dataset.keys[self.host_id :: self.num_hosts])
         if self.drop_last:
-            return n // self.batch_size
+            # lockstep across hosts: every host must run the SAME number of
+            # train steps per epoch or the pjit collectives deadlock when
+            # one host's shard has one extra batch.  The global minimum is
+            # len(keys) // num_hosts keys per host.
+            return (len(self.dataset.keys) // self.num_hosts) // self.batch_size
+        n = len(self.dataset.keys[self.host_id :: self.num_hosts])
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Batch]:
@@ -338,8 +342,8 @@ class DataLoader:
             keys[i : i + self.batch_size]
             for i in range(0, len(keys), self.batch_size)
         ]
-        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
-            batches.pop()
+        if self.drop_last:
+            batches = batches[: len(self)]  # cross-host lockstep, see __len__
         rng = np.random.default_rng((self.seed, self._epoch, self.host_id))
 
         pool = (

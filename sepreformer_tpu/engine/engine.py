@@ -118,6 +118,15 @@ class Engine:
             )
 
             model_size = cfg.sharding.model_parallel_size
+            data_size = mesh.shape["data"]
+            global_batch = cfg.dataset.batch_size * jax.process_count()
+            if "train" in self.loaders and global_batch % data_size:
+                raise ValueError(
+                    f"global train batch {global_batch} "
+                    f"({cfg.dataset.batch_size} per host x "
+                    f"{jax.process_count()} hosts) must divide the data "
+                    f"mesh axis ({data_size})"
+                )
             self.state = shard_train_state(self.state, mesh, model_size)
             self._batch_sharding = NamedSharding(mesh, batch_spec())
             self._sources_sharding = NamedSharding(mesh, sources_spec())
@@ -140,6 +149,18 @@ class Engine:
         mix = batch.mixture
         if self.cfg.engine.mvn:
             mix = apply_cmvn(mix)
+        if self._batch_sharding is not None and jax.process_count() > 1:
+            # each host's loader yields its own shard of the global batch;
+            # assemble the global array (concat over the data axis)
+            import numpy as _np
+
+            mix = jax.make_array_from_process_local_data(
+                self._batch_sharding, _np.asarray(mix)
+            )
+            src = jax.make_array_from_process_local_data(
+                self._sources_sharding, _np.asarray(batch.sources)
+            )
+            return mix, src
         mix = jnp.asarray(mix)
         src = jnp.asarray(batch.sources)
         if self._batch_sharding is not None:

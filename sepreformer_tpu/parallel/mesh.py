@@ -124,9 +124,24 @@ def param_specs(tree: Any, model_size: int) -> Any:
 
 
 def shard_train_state(state: Any, mesh: Mesh, model_size: int) -> Any:
-    """Device-put a full TrainState with the layout rules applied."""
+    """Device-put a full TrainState with the layout rules applied.
+
+    Works in multi-process runs too: every process holds the full
+    (identically-seeded) value of every leaf, so the global array is
+    assembled by slicing the local copy per device shard
+    (``make_array_from_callback``); single-process keeps the plain
+    device_put fast path.
+    """
     specs = param_specs(state, model_size)
-    return jax.tree.map(
-        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-        state, specs,
-    )
+    multiprocess = jax.process_count() > 1
+
+    def put(leaf, spec):
+        sharding = NamedSharding(mesh, spec)
+        if not multiprocess:
+            return jax.device_put(leaf, sharding)
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(put, state, specs)
