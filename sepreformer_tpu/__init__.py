@@ -20,3 +20,9 @@ from sepreformer_tpu.config import (  # noqa: F401
     VariantConfig,
     get_variant,
 )
+
+
+def load_separator(*args, **kwargs):  # noqa: D103 — lazy: jax import is slow
+    from sepreformer_tpu.api import load_separator as _impl
+
+    return _impl(*args, **kwargs)
