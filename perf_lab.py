@@ -48,6 +48,8 @@ def main():
     p.add_argument("--variant", default="SepReformer_Base_WSJ0")
     p.add_argument("--impls", nargs="+", default=["xla", "pallas"])
     p.add_argument("--dtypes", nargs="+", default=["float32", "bfloat16"])
+    p.add_argument("--barrier", choices=["auto", "on", "off"], default="auto",
+                   help="relpos_barrier setting (pos_kt optimization_barrier)")
     args = p.parse_args()
 
     import jax
@@ -69,7 +71,8 @@ def main():
             variant = dataclasses.replace(
                 base,
                 model=dataclasses.replace(
-                    base.model, compute_dtype=dtype, attention_impl=impl
+                    base.model, compute_dtype=dtype, attention_impl=impl,
+                    relpos_barrier=args.barrier,
                 ),
             )
             try:
