@@ -47,6 +47,13 @@ class ModelConfig:
     # for deterministic passes, XLA elsewhere), "xla", "pallas", or
     # "pallas_interpret" (testing)
     attention_impl: str = "auto"
+    # TRAIN-time global-attention implementation: "auto" (Pallas train
+    # kernel — fused fwd with hash attention-prob dropout + handwritten
+    # bwd — on TPU at bottleneck lengths <= 512; XLA elsewhere), "xla",
+    # "pallas", "pallas_interpret".  The XLA train path materializes
+    # [B, H, L, L] tensors through fwd+bwd (~22% of the Base train step
+    # on v5e).
+    attention_train_impl: str = "auto"
     # fused Pallas GCFN feed-forward: "auto" (on TPU, deterministic
     # passes), "on", "off", "interpret" (testing).  The 6F-wide FFN
     # intermediates are the model's main HBM-bandwidth cost; the fused

@@ -47,6 +47,7 @@ class RelPos(NamedTuple):
     maxlen: int
     impl: str = "auto"
     pos_kt: Optional[jnp.ndarray] = None
+    train_impl: str = "auto"
 
 
 def rel_table(table: jnp.ndarray, t: int, maxlen: int) -> jnp.ndarray:
@@ -111,6 +112,26 @@ def relpos_store_dtype(setting: str) -> jnp.dtype:
     if setting == "bfloat16":
         return jnp.bfloat16
     return jnp.float32
+
+
+def resolve_attention_train_impl(impl: str, length: int = 0) -> str:
+    """Train-time resolver: the Pallas train kernel (single-block, hash
+    dropout, handwritten bwd) replaces the XLA path — which materializes
+    [B, H, L, L] through fwd+bwd — at the bottleneck lengths training
+    runs at.  Measured on v5e (B=4 x 4 s, f32, dropout 0.05): full train
+    step 155.7 -> 151.3 ms; standalone fwd+bwd at the dec-stage shape
+    [8, 8, 500, 16] is 2.4x faster (4.98 -> 2.08 ms — the in-model gap is
+    smaller because XLA amortizes the shared pos gather and fuses across
+    blocks)."""
+    if impl == "auto":
+        from sepreformer_tpu.ops.pallas.attention_train import (
+            supported_length,
+        )
+
+        if jax.default_backend() == "tpu" and supported_length(length):
+            return "pallas"
+        return "xla"
+    return impl
 
 
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
@@ -457,11 +478,42 @@ class MultiHeadAttention(nn.Module):
         k = TorchLinear(self.dim, name="k")(y).reshape(b, t, h, d)
         v = TorchLinear(self.dim, name="v")(y).reshape(b, t, h, d)
 
+        if train and pos is not None:
+            from sepreformer_tpu.ops.pallas.attention_train import (
+                supported_length,
+            )
+
+            timpl = resolve_attention_train_impl(pos.train_impl, t)
+            if timpl in ("pallas", "pallas_interpret") and supported_length(t):
+                from sepreformer_tpu.ops.pallas.attention_train import (
+                    flash_relpos_attention_train,
+                )
+
+                if self.dropout > 0.0:
+                    rng = self.make_rng("dropout")
+                    seed = jax.random.randint(
+                        rng, (), 0, jnp.iinfo(jnp.int32).max,
+                        dtype=jnp.int32,
+                    )
+                else:
+                    seed = jnp.int32(0)
+                out = flash_relpos_attention_train(
+                    q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), pos.table.astype(x.dtype),
+                    seed, pos.maxlen, float(self.dropout),
+                    timpl == "pallas_interpret",
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+                out = TorchLinear(self.dim, name="out")(out)
+                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+                return LayerScale(self.dim, self.layer_scale_init,
+                                  name="layer_scale")(out)
+
         impl = (
             resolve_attention_impl(pos.impl, t) if pos is not None else "xla"
         )
-        # the Pallas kernel has no attention-prob dropout; use it only for
-        # deterministic passes (inference/eval) or dropout-free models
+        # the inference Pallas kernel has no attention-prob dropout; use it
+        # only for deterministic passes or dropout-free models
         use_flash = (
             pos is not None
             and impl in ("pallas", "pallas_interpret")

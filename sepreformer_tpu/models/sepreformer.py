@@ -120,6 +120,7 @@ class RelativePositionalEncoding(nn.Module):
         return RelPos(
             table=table, length=length, maxlen=cfg.pos_maxlen,
             impl=cfg.attention_impl, pos_kt=pos_kt,
+            train_impl=cfg.attention_train_impl,
         )
 
 
