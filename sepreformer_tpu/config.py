@@ -200,6 +200,10 @@ class EngineConfig:
     # the reference ships an unused save_checkpoint_per_nth
     # (util_engine.py:49-78) — here it is a crash-safety net
     save_every_n_epochs: int = 0
+    # group K optimizer steps into one device dispatch (lax.scan).  Wins
+    # when per-dispatch latency rivals device compute (remote-dispatch
+    # tunnels); 1 = one dispatch per step.  Single-process only.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

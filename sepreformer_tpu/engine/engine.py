@@ -43,6 +43,7 @@ from sepreformer_tpu.engine.train import (
     make_eval_step,
     make_forward_fn,
     make_train_step,
+    make_train_step_group,
 )
 from sepreformer_tpu.losses import progressive_alpha
 from sepreformer_tpu.metrics import pit_sisnri_np, sdri_np
@@ -100,6 +101,8 @@ class Engine:
             log.info("resumed from epoch %d (%s)", ep, self.ckpt_dir)
 
         self.train_step = make_train_step(cfg)
+        self._group_step = None
+        self._group_k = 0
         self.eval_step = make_eval_step(cfg)
         self.forward = make_forward_fn(cfg)
         self.best_valid = float("inf")
@@ -180,18 +183,15 @@ class Engine:
             self.cfg.criterion.alpha_decay_factor,
             self.cfg.criterion.alpha_decay_every,
         )
+        k = max(1, self.cfg.engine.steps_per_dispatch)
+        if k > 1 and jax.process_count() > 1:
+            k = 1  # grouped dispatch is single-process only
         tot_time, tot_mag, n = 0.0, 0.0, 0
-        for batch in loader:
-            if epoch == 1:
-                self.lr_ctl.warmup_step()  # per-iteration warmup (engine.py:61)
-            mix, src = self._prep(batch)
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics = self.train_step(
-                self.state, mix, src,
-                jnp.float32(self.lr_ctl.lr), jnp.float32(alpha), step_rng,
-            )
-            tot_time += float(metrics["time_loss"]) / self.cfg.model.num_spks
-            tot_mag += float(metrics["mag_loss_mean"]) / self.cfg.model.num_spks
+
+        def account(time_loss: float, mag_loss: float):
+            nonlocal tot_time, tot_mag, n
+            tot_time += time_loss / self.cfg.model.num_spks
+            tot_mag += mag_loss / self.cfg.model.num_spks
             n += 1
             every = self.cfg.engine.log_every_steps
             if every and n % every == 0:
@@ -202,6 +202,54 @@ class Engine:
                     epoch, n, len(loader), tot_time / n, tot_mag / n,
                     self.lr_ctl.lr,
                 )
+
+        def flush(group):
+            if not group:
+                return
+            if len(group) == 1:
+                mix, src, lr, rng = group[0]
+                self.state, metrics = self.train_step(
+                    self.state, mix, src, lr, jnp.float32(alpha), rng,
+                )
+                account(float(metrics["time_loss"]),
+                        float(metrics["mag_loss_mean"]))
+                return
+            if self._group_step is None or self._group_k != len(group):
+                self._group_step = make_train_step_group(
+                    self.cfg, len(group)
+                )
+                self._group_k = len(group)
+            mixes = jnp.stack([g[0] for g in group])
+            srcs = jnp.stack([g[1] for g in group])
+            lrs = jnp.stack([g[2] for g in group])
+            if self._batch_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                mesh = self._batch_sharding.mesh
+                mixes = jax.device_put(
+                    mixes, NamedSharding(mesh, P(None, "data", None)))
+                srcs = jax.device_put(
+                    srcs, NamedSharding(mesh, P(None, None, "data", None)))
+            self.rng, rng = jax.random.split(self.rng)
+            self.state, metrics = self._group_step(
+                self.state, mixes, srcs, lrs, jnp.float32(alpha), rng,
+            )
+            times = np.asarray(metrics["time_loss"])
+            mags = np.asarray(metrics["mag_loss_mean"])
+            for tl, ml in zip(times, mags):
+                account(float(tl), float(ml))
+
+        group = []
+        for batch in loader:
+            if epoch == 1:
+                self.lr_ctl.warmup_step()  # per-iteration warmup (engine.py:61)
+            mix, src = self._prep(batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            group.append((mix, src, jnp.float32(self.lr_ctl.lr), step_rng))
+            if len(group) >= k:
+                flush(group)
+                group = []
+        flush(group)
         return {"time_loss": tot_time / max(1, n), "mag_loss": tot_mag / max(1, n)}
 
     def _validate(self) -> Dict[str, float]:

@@ -193,6 +193,35 @@ def make_train_step(cfg: VariantConfig, donate: bool = True,
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
+def make_train_step_group(cfg: VariantConfig, k: int, donate: bool = True):
+    """K sequential train steps in ONE dispatch (lax.scan).
+
+    On hosts with per-dispatch latency (remote-dispatch tunnels, slow
+    Python loops) the per-step round trip can exceed device compute; this
+    groups K full optimizer steps device-side.  signature:
+    (state, mixtures [K,B,T], sources [K,spks,B,T], lrs [K], alpha, rng)
+    -> (state, metrics with a leading [K] axis).  Per-step LRs keep the
+    reference's per-iteration warmup exact (engine.py:61).
+    """
+    inner = make_train_step(cfg, donate=False)
+
+    def group_step(state: TrainState, mixtures, sources, lrs, alpha, rng):
+        def body(carry, xs):
+            mix, src, lr, i = xs
+            new_state, metrics = inner(
+                carry, mix, src, lr, alpha, jax.random.fold_in(rng, i)
+            )
+            return new_state, metrics
+
+        return jax.lax.scan(
+            body, state,
+            (mixtures, sources, lrs, jnp.arange(k)),
+        )
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(group_step, donate_argnums=donate_argnums)
+
+
 def make_eval_step(cfg: VariantConfig):
     """Validation losses under running BN stats, no dropout
     (engine.py:86-110)."""

@@ -243,3 +243,24 @@ def test_periodic_checkpoint_and_step_logging(corpus, tmp_path, caplog):
     # every epoch checkpointed regardless of best tracking
     assert latest_epoch(engine.ckpt_dir) == cfg.engine.max_epoch - 1
     assert any("step 1/" in r.message for r in caplog.records)
+
+
+def test_steps_per_dispatch_matches_single_dispatch(corpus, tmp_path):
+    """engine.steps_per_dispatch=2 (grouped lax.scan dispatch) must
+    reproduce the per-step dispatch training exactly when dropout=0
+    (identical math, different dispatch granularity)."""
+    def run(k, sub):
+        cfg = tiny_variant(corpus, steps_per_dispatch=k)
+        loaders = build_dataloaders(cfg.dataset, "train", scp_root=corpus)
+        engine = Engine(cfg, str(tmp_path / sub), loaders, seed=5)
+        return engine.run("train")["history"]
+
+    h1 = run(1, "w1")
+    h2 = run(2, "w2")
+    assert len(h1) == len(h2)
+    for a, b in zip(h1, h2):
+        np.testing.assert_allclose(a["time_loss"], b["time_loss"],
+                                   rtol=1e-6, atol=1e-7)
+        # the scan body compiles with different fusions than the lone
+        # step -> fp reassociation drift in the trained params
+        np.testing.assert_allclose(a["valid"], b["valid"], rtol=1e-4)
