@@ -206,13 +206,15 @@ class Engine:
         def flush(group):
             if not group:
                 return
-            if len(group) == 1:
-                mix, src, lr, rng = group[0]
-                self.state, metrics = self.train_step(
-                    self.state, mix, src, lr, jnp.float32(alpha), rng,
-                )
-                account(float(metrics["time_loss"]),
-                        float(metrics["mag_loss_mean"]))
+            if k == 1 or len(group) < k:
+                # leftover tail: reuse the already-compiled single step
+                # instead of compiling a second scan program for this size
+                for mix, src, lr, rng in group:
+                    self.state, metrics = self.train_step(
+                        self.state, mix, src, lr, jnp.float32(alpha), rng,
+                    )
+                    account(float(metrics["time_loss"]),
+                            float(metrics["mag_loss_mean"]))
                 return
             if self._group_step is None or self._group_k != len(group):
                 self._group_step = make_train_step_group(
