@@ -100,16 +100,8 @@ def compute_losses(
     return time_loss, metrics
 
 
-def make_train_step(cfg: VariantConfig, donate: bool = True,
-                    debug_grads: bool = False):
-    """Build the jitted train step.
-
-    signature: (state, mixture [B,T], sources [spks,B,T], lr scalar,
-    alpha scalar, dropout_rng) -> (state, metrics)
-
-    ``debug_grads`` adds the raw (pre-clip) gradient tree to the metrics —
-    for tests/debugging only.
-    """
+def _build_train_step(cfg: VariantConfig, debug_grads: bool = False):
+    """The raw (unjitted) train-step function; see make_train_step."""
     model = SepReformer(cfg.model)
     tx = make_optimizer(cfg)
     kernel = jnp.asarray(
@@ -189,8 +181,22 @@ def make_train_step(cfg: VariantConfig, donate: bool = True,
             metrics["grads"] = grads
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(cfg: VariantConfig, donate: bool = True,
+                    debug_grads: bool = False):
+    """Build the jitted train step.
+
+    signature: (state, mixture [B,T], sources [spks,B,T], lr scalar,
+    alpha scalar, dropout_rng) -> (state, metrics)
+
+    ``debug_grads`` adds the raw (pre-clip) gradient tree to the metrics —
+    for tests/debugging only.
+    """
+    step = _build_train_step(cfg, debug_grads)
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(step, donate_argnums=donate_argnums)
 
 
 def make_train_step_group(cfg: VariantConfig, k: int, donate: bool = True):
@@ -202,8 +208,13 @@ def make_train_step_group(cfg: VariantConfig, k: int, donate: bool = True):
     (state, mixtures [K,B,T], sources [K,spks,B,T], lrs [K], alpha, rng)
     -> (state, metrics with a leading [K] axis).  Per-step LRs keep the
     reference's per-iteration warmup exact (engine.py:61).
+
+    The scan body is the RAW step function, not the jitted one — a pjit
+    nested inside a while-loop lowers each call-site separately (with
+    per-constant device fetches), which took tens of minutes over a
+    remote-dispatch tunnel.
     """
-    inner = make_train_step(cfg, donate=False)
+    inner = _build_train_step(cfg)
 
     def group_step(state: TrainState, mixtures, sources, lrs, alpha, rng):
         def body(carry, xs):
