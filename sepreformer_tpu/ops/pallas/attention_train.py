@@ -139,8 +139,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pe_ref, dout_ref,
     ds = probs * (dp - jnp.sum(dp * probs, axis=1, keepdims=True))
     ds = ds * sm_scale
     dsq = ds.astype(q.dtype)
-    # dq = dS k + scatter(dS) pe   (band adjoint)
-    ds2 = _barrel_scatter(dsq, block)
+    # dq = dS k + scatter(dS) pe   (band adjoint).  The scatter's rolls
+    # run on the f32 ds: Mosaic's dynamic_rotate only supports 32-bit
+    # lanes ("Rotate with non-32-bit data" on bf16).
+    ds2 = _barrel_scatter(ds, block).astype(q.dtype)
     dq = jax.lax.dot_general(
         dsq, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + jax.lax.dot_general(
