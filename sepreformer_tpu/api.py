@@ -62,6 +62,11 @@ class Separator:
             wav = np.asarray(mixture, np.float32)
             if wav.ndim != 1:
                 raise ValueError(f"expected [T] samples, got {wav.shape}")
+        if self.variant.engine.mvn:
+            # match Engine._prep's eval preprocessing (engine.py:151-154;
+            # ref utils/functions.py:1-4) — normalize the raw utterance
+            # before any padding so the statistics see only real samples
+            wav = (wav - wav.mean()) / (wav.std() + 1e-8)
         t = len(wav)
         stride = self.variant.model.enc_stride
         sr = self.sampling_rate

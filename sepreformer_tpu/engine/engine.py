@@ -127,8 +127,8 @@ class Engine:
                 raise ValueError(
                     f"global train batch {global_batch} "
                     f"({cfg.dataset.batch_size} per host x "
-                    f"{jax.process_count()} hosts) must divide the data "
-                    f"mesh axis ({data_size})"
+                    f"{jax.process_count()} hosts) must be divisible by "
+                    f"the data mesh axis size ({data_size})"
                 )
             self.state = shard_train_state(self.state, mesh, model_size)
             self._batch_sharding = NamedSharding(mesh, batch_spec())

@@ -146,6 +146,19 @@ def resolve_attention_impl(impl: str, length: int = 0) -> str:
     return impl
 
 
+def length_mask(seq_lens: jnp.ndarray, t: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, t, 1] 0/1 mask — position p of row b is valid iff p < seq_lens[b].
+
+    Used by the exact masked-eval path (``seq_lens`` threading): padded
+    positions in bucketed batches are made invisible to every op whose
+    receptive field crosses the valid/pad boundary, so batched outputs
+    reproduce the reference's true-length batch-1 processing exactly
+    (ref pad_signal: module.py:220-234; forced batch 1: dataset.py:30).
+    """
+    pos = jnp.arange(t, dtype=jnp.int32)
+    return (pos[None, :] < seq_lens[:, None]).astype(dtype)[..., None]
+
+
 def torch_uniform_init(fan_in: int):
     """U(-1/sqrt(fan_in), +1/sqrt(fan_in)) — torch Linear/Conv1d default."""
     bound = 1.0 / math.sqrt(fan_in)

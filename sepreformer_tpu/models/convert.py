@@ -290,9 +290,19 @@ def save_torch_checkpoint(
     epoch: int = 0,
     train_loss: float = 0.0,
     valid_loss: float = 0.0,
+    lr: float = 1.0e-3,
+    weight_decay: float = 1.0e-2,
 ) -> None:
     """Write a reference-format ``epoch.NNNN.pth`` the reference engine can
-    resume from (util_engine.py:96-106 schema; optimizer state empty)."""
+    resume from (util_engine.py:96-106 schema).
+
+    The reference's ``load_last_checkpoint`` (util_engine.py:44)
+    unconditionally calls ``optimizer.load_state_dict``, which raises on an
+    empty dict, so a minimally valid AdamW state is emitted: empty
+    per-parameter state (moments re-initialize lazily on the first
+    ``step()``) and one param_group covering every trainable parameter with
+    the reference's AdamW hyperparameters (configs.yaml:115-118; pass
+    ``lr``/``weight_decay`` to match the variant being exported)."""
     import torch
 
     sd = {
@@ -300,11 +310,30 @@ def save_torch_checkpoint(
             torch.tensor(v))
         for k, v in export_torch_state_dict(variables, cfg).items()
     }
+    n_params = sum(
+        1 for kind, coll, _, _ in mapping_entries(cfg) if coll == "params"
+    )
+    opt_sd = {
+        "state": {},
+        "param_groups": [{
+            "lr": lr,
+            "betas": (0.9, 0.999),
+            "eps": 1.0e-8,
+            "weight_decay": weight_decay,
+            "amsgrad": False,
+            "maximize": False,
+            "foreach": None,
+            "capturable": False,
+            "differentiable": False,
+            "fused": None,
+            "params": list(range(n_params)),
+        }],
+    }
     torch.save(
         {
             "epoch": epoch,
             "model_state_dict": sd,
-            "optimizer_state_dict": {},
+            "optimizer_state_dict": opt_sd,
             "train_loss": train_loss,
             "valid_loss": valid_loss,
         },

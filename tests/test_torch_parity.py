@@ -135,7 +135,10 @@ def test_export_roundtrip_into_reference_model(reference_base):
 
 def test_save_torch_checkpoint_reference_schema(reference_base, tmp_path):
     """save_torch_checkpoint writes the reference epoch.NNNN.pth schema
-    (util_engine.py:96-106) and load_torch_checkpoint round-trips it."""
+    (util_engine.py:96-106), load_torch_checkpoint round-trips it, and the
+    optimizer_state_dict is loadable+steppable by a reference-style AdamW
+    (the reference's load_last_checkpoint calls optimizer.load_state_dict
+    unconditionally, util_engine.py:44)."""
     import jax
 
     from sepreformer_tpu.models.convert import (
@@ -159,3 +162,11 @@ def test_save_torch_checkpoint_reference_schema(reference_base, tmp_path):
     for a, b in zip(jax.tree.leaves(variables["params"]),
                     jax.tree.leaves(back["params"])):
         np.testing.assert_allclose(np.asarray(a), b, rtol=0, atol=0)
+
+    ref_model, _ = reference_base
+    opt = torch.optim.AdamW(ref_model.parameters(), lr=1e-3,
+                            weight_decay=1e-2)
+    opt.load_state_dict(ckpt["optimizer_state_dict"])
+    for p in ref_model.parameters():
+        p.grad = torch.zeros_like(p)
+    opt.step()  # would KeyError on an empty/mismatched optimizer state
