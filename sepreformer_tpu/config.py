@@ -66,6 +66,11 @@ class ModelConfig:
     # — "on"/"interpret" force it.  Eval semantics only (folded
     # running-stats BatchNorm); training keeps the XLA path.
     fused_local: str = "auto"
+    # Pallas large-kernel depthwise backward (ops/pallas/depthwise,
+    # CLA's k65 conv): "auto" = on for TPU, "off" = XLA grouped conv.
+    # Forced off when the model mesh axis is active (Engine) — pallas_call
+    # operands have no partitioning rule under a model-sharded pjit.
+    fused_depthwise: str = "auto"
     # fused EGA-tail+GCFN pair kernel in GlobalBlock (ops/pallas/ega_gcfn):
     # "auto" currently resolves to OFF — measured slower than XLA's own
     # tail fusion on v5e (see GlobalBlock) — "on"/"interpret" force it
@@ -164,8 +169,9 @@ class DatasetConfig:
     test_mixture: str = "tt_mix.scp"
     test_sources: Tuple[str, ...] = ("tt_s1.scp", "tt_s2.scp")
     dynamic_mixing: bool = False
-    # dynamic-mixing flavor: "wsj0" | "wham" | "whamr"
-    # (ref §2.7: per-variant _dynamic_mixing implementations)
+    # dynamic-mixing flavor: "wsj0" | "wsj0_base" | "wham" | "whamr"
+    # (ref §2.7: per-variant _dynamic_mixing implementations; wsj0_base is
+    # the Base variant's ±2.5 dB no-RMS-norm recipe, dead config upstream)
     dm_flavor: str = "wsj0"
     train_noise: Optional[str] = None       # WHAM/WHAMR: "tr_n.scp"
     # WHAMR: reverberant source scps used to build the mixture while the
@@ -274,6 +280,16 @@ def _register_presets() -> None:
         train_noise="tr_n.scp",
         train_reverb_sources=("tr_s1_reverb.scp", "tr_s2_reverb.scp"),
         scp_dir="data/scp_ss_8k_whamr",
+    )
+    # Libri2Mix evaluation preset: the reference ships only cv/tt manifests
+    # (data/scp_ss_8k_libri — mix_both, i.e. the noisy condition) and no
+    # Libri2Mix configs.yaml; the result table's Libri2Mix column is the
+    # WSJ0-trained Base model evaluated on these manifests.  Same model as
+    # Base, scp_dir pointed at the libri manifests; train manifests for
+    # training-from-scratch come from data/create_scp.py's libri2mix layout.
+    _PRESETS["SepReformer_Base_Libri2Mix"] = lambda: replace(
+        _base(), name="SepReformer_Base_Libri2Mix",
+        dataset=DatasetConfig(scp_dir="data/scp_ss_8k_libri"),
     )
     # Paper-scale presets (sizes T/S/M are in the paper's result table but the
     # reference ships no configs for them — dims here follow the paper's

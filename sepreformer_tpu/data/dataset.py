@@ -123,6 +123,8 @@ class SeparationDataset:
             flavor = self.cfg.dm_flavor
             if flavor == "wsj0":
                 return self._dm_wsj0(key, rng)
+            if flavor == "wsj0_base":
+                return self._dm_wsj0_base(key, rng)
             if flavor == "wham":
                 return self._dm_wham(key, rng)
             if flavor == "whamr":
@@ -180,6 +182,46 @@ class SeparationDataset:
 
     def _dm_wsj0(self, key: str, rng: np.random.Generator):
         srcs, _ = self._two_sources(key, rng, check_speaker=True, gain_db=5.0)
+        min_len = min(len(s) for s in srcs)
+        srcs = [_match_length(rng, s, min_len) for s in srcs]
+        mix = sum(srcs)
+        mix, srcs = _truncate_to_stride(mix, srcs)
+        if len(mix) > self.cfg.max_len:
+            start = int(rng.integers(0, len(mix) - self.cfg.max_len + 1))
+            mix = mix[start : start + self.cfg.max_len]
+            srcs = [s[start : start + self.cfg.max_len] for s in srcs]
+        return mix, srcs
+
+    def _dm_wsj0_base(self, key: str, rng: np.random.Generator):
+        """Base-variant dynamic mixing (SepReformer_Base_WSJ0/
+        dataset.py:85-133): ±2.5 dB random gains and NO RMS normalization
+        of the partner source (unlike the Large flavor's ref_rms matching).
+
+        Reference quirks, handled explicitly:
+        - its same-speaker check compares key fields 1 and 3 — the GAIN
+          fields of a wsj0-2mix key, not the utterance/speaker fields
+          (Base dataset.py:98-100; the Large variant checks fields 0/2) —
+          kept faithfully;
+        - it calls ``self.speed_aug`` (dataset.py:112), an attribute
+          ``MyDataset.__init__`` never sets (``speed_list`` is accepted
+          and dropped, dataset.py:66), so enabling this flavor upstream
+          crashes with AttributeError.  The augmentation therefore does
+          not exist in any runnable form and is omitted here.
+        """
+        keys = self.keys
+        while True:
+            cand = keys[int(rng.integers(0, len(keys)))]
+            p, c = key.split("_"), cand.split("_")
+            if p[1][:3] != c[3][:3] and p[3][:3] != c[1][:3]:
+                partner = cand
+                break
+        i1, i2 = (0, 1) if rng.random() > 0.5 else (1, 0)
+        srcs = []
+        for table, k in [(self.src_dicts[i1], key),
+                         (self.src_dicts[i2], partner)]:
+            x = self._read(table, k)
+            gain = 10.0 ** (-rng.uniform(-2.5, 2.5) / 20.0)
+            srcs.append(gain * x)
         min_len = min(len(s) for s in srcs)
         srcs = [_match_length(rng, s, min_len) for s in srcs]
         mix = sum(srcs)
@@ -407,9 +449,13 @@ def build_dataloaders(
     for part in partitions:
         ds = SeparationDataset(cfg, part, scp_root)
         if part == "test":
+            # host-sharded like train/valid: on a pod every utterance is
+            # evaluated by exactly one host (Engine._test merges rows and
+            # globally reduces the summary metric)
             loaders[part] = DataLoader(
                 ds, batch_size=cfg.eval_batch_size, shuffle=False,
                 pad_to=None, seed=seed,
+                host_id=host_id, num_hosts=num_hosts,
                 sort_by_length=cfg.eval_batch_size > 1,
                 num_workers=cfg.num_workers,
             )

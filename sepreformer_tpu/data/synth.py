@@ -138,6 +138,39 @@ def synth_utterance(
     return out * (0.5 / peak) if peak > 0 else out
 
 
+def _colored_noise(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Pink-ish ambient noise: white noise through a one-pole lowpass,
+    plus a little broadband floor (stands in for WHAM's cafe noise)."""
+    from scipy.signal import lfilter
+
+    w = rng.normal(size=n).astype(np.float32)
+    a = 0.92  # one-pole lowpass: y[t] = a*y[t-1] + (1-a)*w[t]
+    y = lfilter([1.0 - a], [1.0, -a], w).astype(np.float32)
+    y = y + 0.15 * w
+    return y / (np.sqrt(np.mean(np.square(y))) + 1e-8)
+
+
+def _synth_rir(rng: np.random.Generator, sr: int) -> np.ndarray:
+    """Synthetic room impulse response: direct path + exponentially
+    decaying random echo train (T60 ~ 0.15-0.4 s)."""
+    t60 = float(rng.uniform(0.15, 0.4))
+    n = int(t60 * sr)
+    rir = np.zeros(n, np.float32)
+    rir[0] = 1.0
+    n_taps = int(rng.integers(40, 120))
+    taps = rng.integers(int(0.003 * sr), n, size=n_taps)
+    decay = np.exp(-6.9 * taps / (t60 * sr))  # -60 dB at t60
+    signs = rng.choice([-1.0, 1.0], size=n_taps)
+    amps = rng.uniform(0.2, 0.8, size=n_taps) * decay * signs
+    np.add.at(rir, taps, amps.astype(np.float32))
+    return rir
+
+
+def _reverberate(x: np.ndarray, rir: np.ndarray) -> np.ndarray:
+    y = np.convolve(x, rir)[: len(x)].astype(np.float32)
+    return y
+
+
 def generate_corpus(
     out_dir: str,
     n_train: int = 1200,
@@ -149,6 +182,7 @@ def generate_corpus(
     n_test_speakers: int = 8,
     snr_range: float = 2.5,
     seed: int = 0,
+    flavor: str = "wsj0",
 ) -> str:
     """Write a wsj0-2mix-style corpus under ``out_dir``.
 
@@ -158,7 +192,19 @@ def generate_corpus(
     ``<spk1>a<idx>_<snr>_<spk2>a<idx>_<-snr>`` so dynamic mixing's
     speaker-id parsing (dataset._wsj_speakers, ref dataset.py:96-100)
     works on this corpus too.  Returns the scp directory path.
+
+    ``flavor``:
+    - "wsj0": clean 2-speaker mixtures (default);
+    - "wham": + colored ambient noise in the mixture at 3..12 dB input
+      SNR, noise wavs + ``{tr,cv,tt}_n.scp`` manifests (WHAM layout —
+      targets stay the clean sources);
+    - "whamr": + synthetic-RIR reverberant source copies build the
+      mixture while the anechoic sources remain the targets, with
+      ``*_s{1,2}_reverb.scp`` manifests (WHAMR layout,
+      ref SepReformer_Large_DM_WHAMR/dataset.py:89-154).
     """
+    if flavor not in ("wsj0", "wham", "whamr"):
+        raise ValueError(f"unknown corpus flavor {flavor!r}")
     rng = np.random.default_rng(seed)
     pool_tr = [random_speaker(rng) for _ in range(n_train_speakers)]
     pool_tt = [random_speaker(rng) for _ in range(n_test_speakers)]
@@ -170,9 +216,14 @@ def generate_corpus(
         ("cv", n_valid, pool_tr),
         ("tt", n_test, pool_tt),
     )
+    subs = ["mix", "s1", "s2"]
+    if flavor in ("wham", "whamr"):
+        subs.append("n")
+    if flavor == "whamr":
+        subs += ["s1_reverb", "s2_reverb"]
     for part, count, pool in parts:
         dirs = {}
-        for sub in ("mix", "s1", "s2"):
+        for sub in subs:
             d = os.path.join(out_dir, "wav", part, sub)
             os.makedirs(d, exist_ok=True)
             dirs[sub] = d
@@ -186,18 +237,34 @@ def generate_corpus(
             # active-level SNR scaling, as create_wav_2speakers.m does
             s1 = u1 / active_level_rms(u1, sr) * 10.0 ** (snr / 20.0)
             s2 = u2 / active_level_rms(u2, sr) * 10.0 ** (-snr / 20.0)
-            mix = s1 + s2
+            extra = {}
+            if flavor == "whamr":
+                r1 = _reverberate(s1, _synth_rir(rng, sr))
+                r2 = _reverberate(s2, _synth_rir(rng, sr))
+                mix = r1 + r2
+                extra["s1_reverb"], extra["s2_reverb"] = r1, r2
+            else:
+                mix = s1 + s2
+            if flavor in ("wham", "whamr"):
+                noise_snr = float(rng.uniform(3.0, 12.0))
+                noise = _colored_noise(rng, n)
+                sig_rms = np.sqrt(np.mean(np.square(mix))) + 1e-8
+                noise = noise * sig_rms * 10.0 ** (-noise_snr / 20.0)
+                mix = mix + noise
+                extra["n"] = noise
             peak = max(np.abs(mix).max(), np.abs(s1).max(), np.abs(s2).max())
             scale = 0.9 / max(peak, 1e-8)
             s1, s2, mix = s1 * scale, s2 * scale, mix * scale
+            extra = {k: v * scale for k, v in extra.items()}
             key = (f"s{i1:02d}a{idx:04d}_{snr:.4f}_"
                    f"s{i2:02d}a{idx:04d}_{-snr:.4f}")
-            for sub, wav in (("mix", mix), ("s1", s1), ("s2", s2)):
+            for sub, wav in [("mix", mix), ("s1", s1), ("s2", s2),
+                             *extra.items()]:
                 path = os.path.join(dirs[sub], key + ".wav")
                 write_wav(path, wav.astype(np.float32), sr)
                 lines[sub].append(f"{key} {os.path.abspath(path)}")
-        for sub, name in (("mix", "mix"), ("s1", "s1"), ("s2", "s2")):
-            with open(os.path.join(scp_dir, f"{part}_{name}.scp"), "w") as f:
+        for sub in subs:
+            with open(os.path.join(scp_dir, f"{part}_{sub}.scp"), "w") as f:
                 f.write("\n".join(lines[sub]) + "\n")
     return scp_dir
 
@@ -210,10 +277,14 @@ def main(argv: Sequence[str] | None = None) -> None:
     p.add_argument("--n-test", type=int, default=120)
     p.add_argument("--sr", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--flavor", default="wsj0",
+                   choices=["wsj0", "wham", "whamr"],
+                   help="wsj0: clean 2-spk; wham: +noise; whamr: "
+                        "+noise+reverb (anechoic targets)")
     args = p.parse_args(argv)
     scp = generate_corpus(
         args.out_dir, args.n_train, args.n_valid, args.n_test,
-        sr=args.sr, seed=args.seed,
+        sr=args.sr, seed=args.seed, flavor=args.flavor,
     )
     print(scp)
 

@@ -51,12 +51,23 @@ from sepreformer_tpu.metrics import pit_sisnri_np, sdri_np
 log = logging.getLogger("sepreformer_tpu")
 
 
-def apply_cmvn(x: np.ndarray) -> np.ndarray:
+def apply_cmvn(x: np.ndarray, lengths: Optional[np.ndarray] = None) -> np.ndarray:
     """Per-utterance mean/variance normalization (utils/functions.py:1-4),
-    applied when engine.mvn is set (engine.py:57)."""
-    return (x - x.mean(axis=-1, keepdims=True)) / (
-        x.std(axis=-1, keepdims=True) + 1e-8
-    )
+    applied when engine.mvn is set (engine.py:57).
+
+    With ``lengths`` the statistics span only each row's true samples, so
+    bucket padding does not shift them (the reference normalizes the
+    unpadded utterance)."""
+    if lengths is None:
+        return (x - x.mean(axis=-1, keepdims=True)) / (
+            x.std(axis=-1, keepdims=True) + 1e-8
+        )
+    lengths = np.asarray(lengths)
+    m = np.arange(x.shape[-1])[None] < lengths[:, None]
+    cnt = lengths[:, None].astype(np.float64)
+    mean = (x * m).sum(-1, keepdims=True) / cnt
+    var = (np.square(x - mean) * m).sum(-1, keepdims=True) / cnt
+    return ((x - mean) / (np.sqrt(var) + 1e-8)).astype(x.dtype) * m
 
 
 class Engine:
@@ -71,6 +82,24 @@ class Engine:
         seed: int = 0,
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        if (mesh is not None
+                and cfg.sharding.model_parallel_size > 1):
+            # Pallas-kernel policy under tensor parallelism: pallas_call
+            # operands have NO partitioning rule when pjit shards over the
+            # model axis (GSPMD cannot see inside the kernel), so every
+            # fused kernel resolves to its XLA path — XLA ops carry
+            # sharding propagation and insert the collectives.
+            from dataclasses import replace as _replace
+
+            cfg = _replace(
+                cfg,
+                model=_replace(
+                    cfg.model,
+                    fused_ffn="off", fused_local="off", fused_pair="off",
+                    fused_depthwise="off",
+                    attention_impl="xla", attention_train_impl="xla",
+                ),
+            )
         self.cfg = cfg
         self.workdir = workdir
         self.loaders = dataloaders or {}
@@ -105,6 +134,7 @@ class Engine:
         self._group_k = 0
         self.eval_step = make_eval_step(cfg)
         self.forward = make_forward_fn(cfg)
+        self._local_eval_vars = None  # device-resident copy for _test
         self.best_valid = float("inf")
         self._writer = None
 
@@ -185,7 +215,12 @@ class Engine:
         )
         k = max(1, self.cfg.engine.steps_per_dispatch)
         if k > 1 and jax.process_count() > 1:
-            k = 1  # grouped dispatch is single-process only
+            # grouping stacks host batches into one [K, B, T] device put,
+            # which has no multi-process global-array assembly path yet
+            raise ValueError(
+                "engine.steps_per_dispatch > 1 is single-process only; "
+                "set it to 1 for multi-host runs"
+            )
         tot_time, tot_mag, n = 0.0, 0.0, 0
 
         def account(time_loss: float, mag_loss: float):
@@ -232,9 +267,11 @@ class Engine:
                     mixes, NamedSharding(mesh, P(None, "data", None)))
                 srcs = jax.device_put(
                     srcs, NamedSharding(mesh, P(None, None, "data", None)))
-            self.rng, rng = jax.random.split(self.rng)
+            # the SAME per-step keys the ungrouped path would consume, as
+            # scan xs — dropout is identical across steps_per_dispatch
+            rngs = jnp.stack([g[3] for g in group])
             self.state, metrics = self._group_step(
-                self.state, mixes, srcs, lrs, jnp.float32(alpha), rng,
+                self.state, mixes, srcs, lrs, jnp.float32(alpha), rngs,
             )
             times = np.asarray(metrics["time_loss"])
             mags = np.asarray(metrics["mag_loss_mean"])
@@ -273,16 +310,44 @@ class Engine:
         return {"time_loss": tot_time / max(1.0, n),
                 "mag_loss": tot_mag / max(1.0, n)}
 
+    def _eval_fn(self):
+        """(forward, params, batch_stats) for test-time eval — always
+        HOST-LOCAL.
+
+        Under a mesh, batch-1/ragged bucketed test batches cannot be
+        sharded over the data axis (global batch not divisible — the
+        round-1 advisor reproduced a mid-train crash at the first inline
+        test epoch), and on a pod each host evaluates its own shard of
+        the test set at its own pace with no collective lockstep.  So the
+        (possibly sharded) train state is pulled once per test pass into
+        a replicated host-local copy on local device 0.
+        """
+        if self.mesh is None:
+            return self.forward, self.state.params, self.state.batch_stats
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        pull = jax.jit(lambda p, s: (p, s), out_shardings=(rep, rep))
+        host = jax.device_get(
+            pull(self.state.params, self.state.batch_stats)
+        )
+        self._local_eval_vars = jax.device_put(host, jax.local_devices()[0])
+        return (self.forward, *self._local_eval_vars)
+
     def _test(self, wav_dir: Optional[str] = None, compute_sdr: bool = True):
         """Per-utterance SI-SNRi (+SDRi) with CSV dumps (engine.py:113-149).
 
         Metrics run on host at true length in float64.  BSS-eval SDR is
         the slow host-side part (O(T) Toeplitz solves per utterance —
         reference runs it inline, engine.py:132-134); here it runs on a
-        thread pool overlapped with the device forwards.
+        thread pool overlapped with the device forwards.  Multi-host: the
+        test loader is host-sharded (each utterance evaluated exactly
+        once); rows merge via per-host CSV shards on the shared workdir
+        and the summary metrics are globally reduced.
         """
         from concurrent.futures import ThreadPoolExecutor
 
+        forward, params, batch_stats = self._eval_fn()
         loader = self.loaders["test"]
         rows_sisnr = []
         sdr_futures = []
@@ -290,14 +355,18 @@ class Engine:
         pool = ThreadPoolExecutor(max_workers=4) if compute_sdr else None
         for batch in loader:
             # batch > 1 (cfg.dataset.eval_batch_size): utterances are
-            # length-sorted and bucket-padded; metrics below run
-            # per-utterance at true length.  NOTE: zero-padding is visible
-            # to global attention, so batched scores can differ at the
-            # margin from batch-1 eval — default stays 1 (reference
-            # semantics, dataset.py:30); >1 is the throughput mode
-            mix, _ = self._prep(batch)
-            audio = np.asarray(self.forward(self.state.params,
-                                            self.state.batch_stats, mix))
+            # length-sorted and bucket-padded.  The forward runs with the
+            # masked exact-eval path (lengths=true sample counts), so
+            # bucket/batch padding is invisible: every utterance's output
+            # equals the reference's true-length batch-1 processing and
+            # eval_batch_size > 1 is a pure throughput knob.
+            mix = batch.mixture
+            if self.cfg.engine.mvn:
+                mix = apply_cmvn(mix, batch.input_sizes)
+            audio = np.asarray(forward(
+                params, batch_stats, jnp.asarray(mix),
+                jnp.asarray(batch.input_sizes, jnp.int32),
+            ))
             for j in range(batch.batch_size):
                 t = int(batch.input_sizes[j])
                 key = batch.keys[j]
@@ -329,11 +398,44 @@ class Engine:
                 rows_sdr.append([key, mean_s, *per_s])
                 tot_sdri += mean_s
             pool.shutdown()
+        n_procs = jax.process_count()
         for name, rows in [("test_SISNRi_value.csv", rows_sisnr),
                            ("test_SDRi_value.csv", rows_sdr)]:
-            if rows:
-                with open(os.path.join(self.workdir, name), "w", newline="") as f:
-                    csv.writer(f).writerows(rows)
+            if not rows and n_procs == 1:
+                continue
+            target = name if n_procs == 1 else (
+                f".{name}.part{jax.process_index()}"
+            )
+            with open(os.path.join(self.workdir, target), "w",
+                      newline="") as f:
+                csv.writer(f).writerows(rows)
+        if n_procs > 1:
+            # merge per-host shards (shared workdir) into the reference's
+            # single CSVs; summary metrics reduce across hosts
+            from jax.experimental import multihost_utils
+
+            from sepreformer_tpu.parallel.distributed import (
+                global_sum_scalars,
+            )
+
+            tot_sisnri, tot_sdri, n = global_sum_scalars(
+                (tot_sisnri, tot_sdri, n)
+            )
+            n = int(n)
+            multihost_utils.sync_global_devices("sepreformer_test_csv")
+            if jax.process_index() == 0:
+                for name in ("test_SISNRi_value.csv", "test_SDRi_value.csv"):
+                    merged = []
+                    for p in range(n_procs):
+                        part = os.path.join(self.workdir, f".{name}.part{p}")
+                        with open(part, newline="") as f:
+                            merged.extend(list(csv.reader(f)))
+                        os.remove(part)
+                    if merged:
+                        merged.sort(key=lambda r: r[0])
+                        with open(os.path.join(self.workdir, name), "w",
+                                  newline="") as f:
+                            csv.writer(f).writerows(merged)
         out = {"sisnri": tot_sisnri / max(1, n)}
         if compute_sdr:
             out["sdri"] = tot_sdri / max(1, n)

@@ -77,19 +77,33 @@ def create_train_state(
     return init(rng)
 
 
+def make_loss_mel_fb(cfg: VariantConfig) -> Optional[jnp.ndarray]:
+    """The mel filterbank for the magnitude loss when criterion.mel_opt is
+    set (ref criterions.py:133: MelScale(80, 16000, frame_length/2+1));
+    None otherwise."""
+    if not cfg.criterion.mel_opt:
+        return None
+    from sepreformer_tpu.ops.stft import make_mel_filterbank
+
+    return jnp.asarray(
+        make_mel_filterbank(cfg.criterion.stft.frame_length // 2 + 1)
+    )
+
+
 def compute_losses(
     cfg: VariantConfig,
     audio: jnp.ndarray,          # [spks, B, T]
     aux: jnp.ndarray,            # [stages, spks, B, T]
     sources: jnp.ndarray,        # [spks, B, T]
     stft_kernel: jnp.ndarray,
+    mel_fb: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Progressive multi-loss (engine.py:67-74), alpha applied by caller."""
     time_loss = pit_sisnr_time(audio, sources, scale_inv=cfg.criterion.scale_inv)
     mag_losses = [
         pit_sisnr_mag(
             aux[i], sources, stft_kernel, cfg.criterion.stft.frame_shift,
-            scale_inv=cfg.criterion.scale_inv,
+            scale_inv=cfg.criterion.scale_inv, mel_fb=mel_fb,
         )
         for i in range(aux.shape[0])
     ]
@@ -112,6 +126,7 @@ def _build_train_step(cfg: VariantConfig, debug_grads: bool = False):
         )
     )
     num_spks = cfg.model.num_spks
+    mel_fb = make_loss_mel_fb(cfg)
 
     def loss_fn(params, batch_stats, mixture, sources, alpha, rng):
         (audio, aux), mutated = model.apply(
@@ -121,7 +136,8 @@ def _build_train_step(cfg: VariantConfig, debug_grads: bool = False):
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
-        time_loss, metrics = compute_losses(cfg, audio, aux, sources, kernel)
+        time_loss, metrics = compute_losses(cfg, audio, aux, sources, kernel,
+                                            mel_fb)
         total = (
             (1.0 - alpha) * time_loss + alpha * metrics["mag_loss_mean"]
         ) / num_spks
@@ -213,20 +229,24 @@ def make_train_step_group(cfg: VariantConfig, k: int, donate: bool = True):
     nested inside a while-loop lowers each call-site separately (with
     per-constant device fetches), which took tens of minutes over a
     remote-dispatch tunnel.
+
+    ``rngs`` is the [K] stack of the SAME per-step dropout keys the
+    ungrouped path would use (scan xs), so a training run is bitwise
+    identical across ``steps_per_dispatch`` settings — including
+    dropout > 0 (round-1 verdict item: a fold_in stream here silently
+    diverged from the per-step jax.random.split stream).
     """
     inner = _build_train_step(cfg)
 
-    def group_step(state: TrainState, mixtures, sources, lrs, alpha, rng):
+    def group_step(state: TrainState, mixtures, sources, lrs, alpha, rngs):
         def body(carry, xs):
-            mix, src, lr, i = xs
-            new_state, metrics = inner(
-                carry, mix, src, lr, alpha, jax.random.fold_in(rng, i)
-            )
+            mix, src, lr, rng = xs
+            new_state, metrics = inner(carry, mix, src, lr, alpha, rng)
             return new_state, metrics
 
         return jax.lax.scan(
             body, state,
-            (mixtures, sources, lrs, jnp.arange(k)),
+            (mixtures, sources, lrs, rngs),
         )
 
     donate_argnums = (0,) if donate else ()
@@ -245,23 +265,32 @@ def make_eval_step(cfg: VariantConfig):
         )
     )
 
+    mel_fb = make_loss_mel_fb(cfg)
+
     def eval_step(state: TrainState, mixture, sources):
         audio, aux = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, mixture
         )
-        _, metrics = compute_losses(cfg, audio, aux, sources, kernel)
+        _, metrics = compute_losses(cfg, audio, aux, sources, kernel, mel_fb)
         return metrics
 
     return jax.jit(eval_step)
 
 
 def make_forward_fn(cfg: VariantConfig):
-    """Inference forward: mixture [B, T] -> separated [spks, B, T]."""
+    """Inference forward: mixture [B, T] -> separated [spks, B, T].
+
+    ``lengths`` (optional [B] true sample counts) switches on the masked
+    exact-eval path: bucket/batch padding becomes invisible and
+    ``audio[:, b, :lengths[b]]`` matches the reference's true-length
+    batch-1 output (see SepReformer.__call__).
+    """
     model = SepReformer(cfg.model)
 
-    def forward(params, batch_stats, mixture):
+    def forward(params, batch_stats, mixture, lengths=None):
         audio, _ = model.apply(
-            {"params": params, "batch_stats": batch_stats}, mixture
+            {"params": params, "batch_stats": batch_stats}, mixture,
+            lengths=lengths,
         )
         return audio
 

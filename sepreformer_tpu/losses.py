@@ -117,6 +117,7 @@ def stft_mag_pairwise_neg(
     frame_shift: int,
     scale_inv: bool = True,
     eps: float = 1.0e-12,
+    mel_fb: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Negative spectral SDR for every speaker pair (criterions.py:154-171).
 
@@ -124,14 +125,26 @@ def stft_mag_pairwise_neg(
     computed once per (pair, scale) — note the reference's scale-invariant
     projection rescales the *source* per pair, so the source STFT is
     pair-dependent; the estimate STFT is shared across source pairings.
+
+    ``mel_fb`` ([n_freqs, n_mels], ops/stft.py::make_mel_filterbank)
+    switches on the reference's ``mel_opt`` branch (criterions.py:165-167):
+    magnitudes are projected onto the mel scale before the Frobenius norms.
     """
     from sepreformer_tpu.ops.stft import stft_magnitude
 
     spks, b, t = est.shape
     e = _zero_mean(est)
     s = _zero_mean(src)
+
+    def mag(x):
+        m = stft_magnitude(x, stft_kernel, frame_shift)
+        if mel_fb is not None:
+            m = jnp.einsum("btf,fm->btm", m, mel_fb.astype(m.dtype),
+                           preferred_element_type=m.dtype)
+        return m
+
     # est spectrograms: one per estimated speaker
-    mag_e = stft_magnitude(e.reshape(spks * b, t), stft_kernel, frame_shift)
+    mag_e = mag(e.reshape(spks * b, t))
     mag_e = mag_e.reshape(spks, 1, b, *mag_e.shape[1:])
     # pair-dependent scaled sources
     ee = e[:, None]                                # [spks_e, 1, B, T]
@@ -141,9 +154,11 @@ def stft_mag_pairwise_neg(
             jnp.sum(ss * ss, axis=-1, keepdims=True) + eps
         )
         ss = jnp.maximum(scale, 1.0e-2) * ss       # clamp (criterions.py:163)
-    mag_s = stft_magnitude(
-        ss.reshape(spks * spks * b, t), stft_kernel, frame_shift
-    ).reshape(spks, spks, b, -1, stft_kernel.shape[1] // 2)
+    nb = (stft_kernel.shape[1] // 2 if mel_fb is None
+          else mel_fb.shape[1])
+    mag_s = mag(
+        ss.reshape(spks * spks * b, t)
+    ).reshape(spks, spks, b, -1, nb)
     num = jnp.sqrt(jnp.sum(mag_s * mag_s, axis=(-2, -1)))
     den = jnp.sqrt(jnp.sum((mag_e - mag_s) ** 2, axis=(-2, -1)))
     loss = -20.0 * jnp.log10(eps + num / (den + eps))
@@ -156,10 +171,13 @@ def pit_sisnr_mag(
     stft_kernel: jnp.ndarray,
     frame_shift: int,
     scale_inv: bool = True,
+    mel_fb: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """uPIT spectral-magnitude aux loss (criterions.py:115-176). Scalar."""
+    """uPIT spectral-magnitude aux loss (criterions.py:115-176). Scalar.
+    ``mel_fb`` enables the ``mel_opt`` mel-frontend branch."""
     pair = stft_mag_pairwise_neg(
-        est, src, stft_kernel, frame_shift, scale_inv=scale_inv
+        est, src, stft_kernel, frame_shift, scale_inv=scale_inv,
+        mel_fb=mel_fb,
     )
     totals = _gather_perm_totals(pair)
     return jnp.mean(jnp.min(totals, axis=0))

@@ -392,7 +392,8 @@ class GCFN(nn.Module):
 
     @nn.compact
     def __call__(self, x=None, *, train: bool = False,
-                 return_params: bool = False):
+                 return_params: bool = False,
+                 seq_lens: Optional[jnp.ndarray] = None):
         norm = TorchLayerNorm(self.dim, epsilon=self.norm_eps, name="norm")
         proj_in = TorchLinear(self.dim * 6, in_features=self.dim,
                               name="proj_in")
@@ -425,7 +426,7 @@ class GCFN(nn.Module):
         use_fused = (
             self.fused in ("on", "interpret")
             or (self.fused == "auto" and jax.default_backend() == "tpu")
-        ) and block_ok
+        ) and block_ok and seq_lens is None
         if use_fused:
             lns, lnb = norm(return_params=True)
             win, bin_ = proj_in(return_params=True)
@@ -453,6 +454,11 @@ class GCFN(nn.Module):
             return fused_gcfn(x, params, self.norm_eps, interpret)
         y = norm(x)
         y = proj_in(y)
+        if seq_lens is not None:
+            # masked exact-eval: the k3 depthwise at the last valid frame
+            # must read a ZERO beyond the valid length, exactly like the
+            # reference conv's end zero-pad at true length
+            y = y * length_mask(seq_lens, y.shape[1], y.dtype)
         y = depthwise(y)
         y = glu_last(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
@@ -475,7 +481,8 @@ class MultiHeadAttention(nn.Module):
     norm_eps: float = 1.0e-5
 
     @nn.compact
-    def __call__(self, x, pos: Optional["RelPos"] = None, *, train: bool = False):
+    def __call__(self, x, pos: Optional["RelPos"] = None, *, train: bool = False,
+                 key_lens: Optional[jnp.ndarray] = None):
         if x.ndim == 4:
             # [B, S, T, F] cross-speaker mode: attention over the S axis,
             # batched over (B, T) without the reference's reshape to
@@ -491,7 +498,7 @@ class MultiHeadAttention(nn.Module):
         k = TorchLinear(self.dim, name="k")(y).reshape(b, t, h, d)
         v = TorchLinear(self.dim, name="v")(y).reshape(b, t, h, d)
 
-        if train and pos is not None:
+        if train and pos is not None and key_lens is None:
             from sepreformer_tpu.ops.pallas.attention_train import (
                 supported_length,
             )
@@ -531,6 +538,7 @@ class MultiHeadAttention(nn.Module):
             pos is not None
             and impl in ("pallas", "pallas_interpret")
             and (not train or self.dropout == 0.0)
+            and key_lens is None  # flash kernel takes no key mask
         )
         if use_flash:
             from sepreformer_tpu.ops.pallas.attention import (
@@ -569,6 +577,14 @@ class MultiHeadAttention(nn.Module):
                 )
                 scores = scores + bias.astype(scores.dtype)
             scores = scores / math.sqrt(d)
+            if key_lens is not None:
+                # masked exact-eval: padded keys get -inf so softmax spans
+                # only the utterance's true-length positions, matching the
+                # reference's batch-1 attention span (module.py:220-234)
+                kmask = jnp.arange(t, dtype=jnp.int32)[None] < key_lens[:, None]
+                scores = jnp.where(
+                    kmask[:, None, None, :], scores, jnp.float32(-1e30)
+                )
             attn = jax.nn.softmax(
                 scores.astype(jnp.float32), axis=-1
             ).astype(x.dtype)
@@ -670,7 +686,8 @@ class EGA(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos: "RelPos", *, train: bool = False,
-                 fused_tail: bool = False):
+                 fused_tail: bool = False,
+                 seq_lens: Optional[jnp.ndarray] = None):
         from sepreformer_tpu.ops.resample import (
             adaptive_avg_pool_time,
             nearest_upsample_time,
@@ -679,10 +696,18 @@ class EGA(nn.Module):
         t = x.shape[1]
         down_len = pos.length
         x_down = adaptive_avg_pool_time(x, down_len)
+        # masked exact-eval: stage length / bottleneck length is always an
+        # exact power of two (padded_frames pads to 2^R), so pool windows
+        # never straddle a valid/pad boundary — a window is either fully
+        # valid (reads only real frames) or fully pad (masked via key_lens
+        # below).  No mask-weighted pooling needed.
+        pooled_lens = (
+            seq_lens // (t // down_len) if seq_lens is not None else None
+        )
         x_down = MultiHeadAttention(
             self.dim, self.num_heads, self.dropout,
             norm_eps=self.norm_eps, name="attn",
-        )(x_down, pos, train=train)
+        )(x_down, pos, train=train, key_lens=pooled_lens)
         gate_norm = TorchLayerNorm(self.dim, epsilon=self.norm_eps,
                                    name="gate_norm")
         gate_proj = TorchLinear(self.dim, in_features=self.dim,
@@ -710,14 +735,17 @@ class CLA(nn.Module):
     layer_scale_init: float = 1.0e-5
     norm_eps: float = 1.0e-5
     fused: str = "auto"
+    fused_depthwise: str = "auto"
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 seq_lens: Optional[jnp.ndarray] = None):
         norm = TorchLayerNorm(self.dim, epsilon=self.norm_eps, name="norm")
         proj_in = TorchLinear(self.dim * 2, in_features=self.dim,
                               name="proj_in")
         depthwise = DepthwiseConv1d(self.kernel_size, padding="SAME",
-                                    features=self.dim, name="depthwise")
+                                    features=self.dim, name="depthwise",
+                                    fused=self.fused_depthwise)
         proj_mid = TorchLinear(self.dim * 2, in_features=self.dim,
                                name="proj_mid")
         bn = FoldableBatchNorm(self.dim * 2, momentum=0.9,
@@ -742,6 +770,7 @@ class CLA(nn.Module):
             not train
             and self.fused in ("on", "interpret")
             and pick_block(x.shape[1], self.dim) > 0
+            and seq_lens is None
         )
         if use_fused:
             lns, lnb = norm(return_params=True)
@@ -758,6 +787,11 @@ class CLA(nn.Module):
         y = norm(x)
         y = proj_in(y)
         y = glu_last(y)
+        if seq_lens is not None:
+            # masked exact-eval: the k65 depthwise reads up to 32 frames
+            # past the valid length — zero them to match the reference
+            # conv's SAME zero-pad at true length
+            y = y * length_mask(seq_lens, y.shape[1], y.dtype)
         y = depthwise(y)
         y = proj_mid(y)
         y = bn(y, use_running_average=not train).astype(x.dtype)
@@ -786,7 +820,8 @@ class GlobalBlock(nn.Module):
     fused_pair: str = "auto"
 
     @nn.compact
-    def __call__(self, x, pos, *, train: bool = False):
+    def __call__(self, x, pos, *, train: bool = False,
+                 seq_lens: Optional[jnp.ndarray] = None):
         ega = EGA(self.dim, self.num_heads, self.dropout,
                   norm_eps=self.norm_eps, name="ega")
         gcfn = GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
@@ -798,6 +833,7 @@ class GlobalBlock(nn.Module):
         pair_ok = (
             pick_block(x.shape[1]) > 0
             and not (train and self.dropout > 0.0)
+            and seq_lens is None
         )
         # "auto" resolves to OFF: measured on v5e, the pair kernel loses
         # to XLA's own tail fusion at both Base (23.9 vs 23.4 ms) and
@@ -814,8 +850,8 @@ class GlobalBlock(nn.Module):
                 x, x_down, gate_params, gcfn_params, self.norm_eps,
                 self.fused_pair == "interpret",
             )
-        x = ega(x, pos, train=train)
-        return gcfn(x, train=train)
+        x = ega(x, pos, train=train, seq_lens=seq_lens)
+        return gcfn(x, train=train, seq_lens=seq_lens)
 
 
 class LocalBlock(nn.Module):
@@ -827,14 +863,18 @@ class LocalBlock(nn.Module):
     norm_eps: float = 1.0e-5
     fused_ffn: str = "auto"
     fused_local: str = "auto"
+    fused_depthwise: str = "auto"
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 seq_lens: Optional[jnp.ndarray] = None):
         x = CLA(self.dim, self.kernel_size, self.dropout,
                 norm_eps=self.norm_eps, fused=self.fused_local,
-                name="cla")(x, train=train)
+                fused_depthwise=self.fused_depthwise,
+                name="cla")(x, train=train, seq_lens=seq_lens)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
-                    fused=self.fused_ffn, name="gcfn")(x, train=train)
+                    fused=self.fused_ffn, name="gcfn")(x, train=train,
+                                                       seq_lens=seq_lens)
 
 
 class SpkAttention(nn.Module):
@@ -852,11 +892,13 @@ class SpkAttention(nn.Module):
     fused_ffn: str = "auto"
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 seq_lens: Optional[jnp.ndarray] = None):
         bs, t, f = x.shape
         b = bs // self.num_spks
         # transpose-free: [B*S, T, F] -> [B, S, T, F] is a pure reshape;
-        # MHA's speaker-axis mode attends over S batched on (B, T)
+        # MHA's speaker-axis mode attends over S batched on (B, T) —
+        # per-position over speakers, so no time mask is needed there
         y = x.reshape(b, self.num_spks, t, f)
         y = y + MultiHeadAttention(
             self.dim, self.num_heads, self.dropout,
@@ -864,7 +906,8 @@ class SpkAttention(nn.Module):
         )(y, None, train=train)
         y = y.reshape(bs, t, f)
         return GCFN(self.dim, self.dropout, norm_eps=self.norm_eps,
-                    fused=self.fused_ffn, name="gcfn")(y, train=train)
+                    fused=self.fused_ffn, name="gcfn")(y, train=train,
+                                                       seq_lens=seq_lens)
 
 
 class DownConvLayer(nn.Module):
@@ -876,7 +919,13 @@ class DownConvLayer(nn.Module):
     norm_eps: float = 1.0e-5
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 seq_lens: Optional[jnp.ndarray] = None):
+        if seq_lens is not None:
+            # masked exact-eval: the k5 stride-2 conv's last valid output
+            # reads 1 frame past the valid length — make it the zero the
+            # reference's boundary pad supplies at true length
+            x = x * length_mask(seq_lens, x.shape[1], x.dtype)
         y = DepthwiseConv1d(
             self.kernel_size, stride=2,
             padding=(self.kernel_size - 1) // 2, name="conv",
@@ -901,13 +950,23 @@ class SpkSplitStage(nn.Module):
     group_norm_eps: float = 1.0e-8
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, seq_lens: Optional[jnp.ndarray] = None):
         b, t, f = x.shape
         y = TorchLinear(4 * self.dim * self.num_spks, name="proj_in")(x)
         y = glu_last(y)
         y = TorchLinear(self.dim * self.num_spks, name="proj_out")(y)
         y = y.reshape(b, t, self.num_spks, self.dim)
         y = y.transpose(0, 2, 1, 3).reshape(b * self.num_spks, t, self.dim)
+        mask = None
+        if seq_lens is not None:
+            # masked exact-eval: GroupNorm(1, F) statistics span (T, F) —
+            # restrict them to the utterance's true-length frames.  Rows
+            # repeat per speaker after the split reshape above.
+            mask = jnp.broadcast_to(
+                length_mask(jnp.repeat(seq_lens, self.num_spks), t)
+                .astype(bool),
+                y.shape,
+            )  # flax reshapes the mask into groups with y: needs full shape
         return nn.GroupNorm(
             num_groups=1, epsilon=self.group_norm_eps, name="norm"
-        )(y).astype(x.dtype)
+        )(y, mask=mask).astype(x.dtype)

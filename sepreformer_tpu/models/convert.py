@@ -193,6 +193,12 @@ def mapping_entries(cfg: ModelConfig) -> List[Entry]:
     sep = ("separator",)
     out.append(Entry("identity", "params", sep + ("pos_emb", "pe_k"),
                      "separator.pos_emb.pe_k.weight"))
+    if cfg.embed_v:
+        # embed_v=True creates pe_v in the reference (module.py:50); no
+        # variant ships with it and the attention math never consumes it
+        # (network.py MHA takes pos_k only) — parameter-parity only
+        out.append(Entry("identity", "params", sep + ("pos_emb", "pe_v"),
+                         "separator.pos_emb.pe_v.weight"))
     for s in range(cfg.num_stages):
         _enc_stage(out, sep + (f"enc_{s}",), f"separator.enc_stages.{s}",
                    down=True)

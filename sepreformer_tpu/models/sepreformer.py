@@ -70,9 +70,23 @@ class FeatureProjector(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_lens=None):
         cfg = self.cfg
-        y = nn.GroupNorm(num_groups=1, epsilon=cfg.group_norm_eps, name="norm")(x).astype(x.dtype)
+        mask = None
+        if frame_lens is not None:
+            # masked exact-eval: the reference normalizes over the
+            # UNPADDED (T', N) — pad_signal runs later, inside the
+            # separator (module.py:190-194 vs 220-234)
+            from sepreformer_tpu.models.blocks import length_mask
+
+            # flax GroupNorm reshapes the mask alongside x into groups, so
+            # it must be materialized at x's full shape
+            mask = jnp.broadcast_to(
+                length_mask(frame_lens, x.shape[1]).astype(bool), x.shape
+            )
+        y = nn.GroupNorm(
+            num_groups=1, epsilon=cfg.group_norm_eps, name="norm"
+        )(x, mask=mask).astype(x.dtype)
         return TorchLinear(cfg.feat_dim, use_bias=False, name="proj")(y)
 
 
@@ -94,6 +108,17 @@ class RelativePositionalEncoding(nn.Module):
             "pe_k", nn.initializers.normal(1.0),
             (2 * cfg.pos_maxlen, cfg.head_dim),
         )
+        if cfg.embed_v:
+            # faithful embed_v semantics: the reference CREATES pe_v
+            # (module.py:50) and computes its gather (module.py:56), but
+            # the attention math never consumes it — MHA takes pos_k only
+            # (network.py:90-113).  So embed_v=True means "the parameter
+            # exists and converts 1:1 with reference checkpoints", nothing
+            # more.  No shipped variant enables it.
+            self.param(
+                "pe_v", nn.initializers.normal(1.0),
+                (2 * cfg.pos_maxlen, cfg.head_dim),
+            )
         # materialize the gathered (and pre-transposed, see RelPos
         # docstring) table once for the XLA attention path so its backward
         # does one scatter-add instead of one per block; the flash-kernel
@@ -132,24 +157,25 @@ class SepEncStage(nn.Module):
     down_conv: bool = True
 
     @nn.compact
-    def __call__(self, x, pos, *, train: bool = False):
+    def __call__(self, x, pos, *, train: bool = False, seq_lens=None):
         cfg = self.cfg
         for i in (1, 2):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
                 fused_pair=cfg.fused_pair, name=f"global_{i}",
-            )(x, pos, train=train)
+            )(x, pos, train=train, seq_lens=seq_lens)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
-                fused_local=cfg.fused_local, name=f"local_{i}",
-            )(x, train=train)
+                fused_local=cfg.fused_local,
+                fused_depthwise=cfg.fused_depthwise, name=f"local_{i}",
+            )(x, train=train, seq_lens=seq_lens)
         skip = x
         if self.down_conv:
             x = DownConvLayer(
                 cfg.feat_dim, cfg.down_kernel, norm_eps=cfg.norm_eps, name="down",
-            )(x, train=train)
+            )(x, train=train, seq_lens=seq_lens)
         return x, skip
 
 
@@ -160,24 +186,25 @@ class SepDecStage(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, pos, *, train: bool = False):
+    def __call__(self, x, pos, *, train: bool = False, seq_lens=None):
         cfg = self.cfg
         for i in (1, 2, 3):
             x = GlobalBlock(
                 cfg.feat_dim, cfg.num_heads, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
                 fused_pair=cfg.fused_pair, name=f"global_{i}",
-            )(x, pos, train=train)
+            )(x, pos, train=train, seq_lens=seq_lens)
             x = LocalBlock(
                 cfg.feat_dim, cfg.local_kernel, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
-                fused_local=cfg.fused_local, name=f"local_{i}",
-            )(x, train=train)
+                fused_local=cfg.fused_local,
+                fused_depthwise=cfg.fused_depthwise, name=f"local_{i}",
+            )(x, train=train, seq_lens=seq_lens)
             x = SpkAttention(
                 cfg.feat_dim, cfg.num_heads, cfg.num_spks, cfg.dropout,
                 norm_eps=cfg.norm_eps, fused_ffn=cfg.fused_ffn,
                 name=f"spk_attn_{i}",
-            )(x, train=train)
+            )(x, train=train, seq_lens=seq_lens)
         return x
 
 
@@ -187,7 +214,7 @@ class Separator(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, frame_lens=None):
         cfg = self.cfg
         t_in = x.shape[1]
         t_pad = cfg.padded_frames(t_in)
@@ -195,6 +222,24 @@ class Separator(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, t_pad - t_in), (0, 0)))
         bottleneck_len = t_pad // (2 ** cfg.num_stages)
         pos = RelativePositionalEncoding(cfg, name="pos_emb")(bottleneck_len)
+
+        # masked exact-eval: each utterance's in-separator valid length is
+        # its own pad_signal result (frames rounded up to 2^R,
+        # module.py:220-234); positions in [n0, t1) are the reference's
+        # real zero-pad frames (processed normally), positions >= t1 are
+        # bucket padding made invisible via seq_lens threading.
+        mult = 2 ** cfg.num_stages
+        t1 = (
+            ((frame_lens + mult - 1) // mult) * mult
+            if frame_lens is not None else None
+        )
+
+        def lens_at(scale: int, spk: bool):
+            """Valid frames at time scale 1/2^scale (optionally per-spk rows)."""
+            if t1 is None:
+                return None
+            lens = t1 // (2 ** scale)
+            return jnp.repeat(lens, cfg.num_spks) if spk else lens
 
         def spk_split(name):
             return SpkSplitStage(
@@ -213,13 +258,13 @@ class Separator(nn.Module):
         skips = []
         for s in range(cfg.num_stages):
             x, skip = SepEncStage(cfg, down_conv=True, name=f"enc_{s}")(
-                x, pos, train=train
+                x, pos, train=train, seq_lens=lens_at(s, spk=False)
             )
-            skips.append(split_for(s)(skip))
+            skips.append(split_for(s)(skip, lens_at(s, spk=False)))
         x, _ = SepEncStage(cfg, down_conv=False, name="bottleneck")(
-            x, pos, train=train
+            x, pos, train=train, seq_lens=lens_at(cfg.num_stages, spk=False)
         )
-        x = split_for(cfg.num_stages)(x)
+        x = split_for(cfg.num_stages)(x, lens_at(cfg.num_stages, spk=False))
 
         stage_outputs = []
         for s in range(cfg.num_stages):
@@ -228,7 +273,10 @@ class Separator(nn.Module):
             x = nearest_upsample_time(x, skip.shape[1])
             x = jnp.concatenate([x, skip], axis=-1)
             x = TorchLinear(cfg.feat_dim, name=f"fusion_{s}")(x)
-            x = SepDecStage(cfg, name=f"dec_{s}")(x, pos, train=train)
+            x = SepDecStage(cfg, name=f"dec_{s}")(
+                x, pos, train=train,
+                seq_lens=lens_at(cfg.num_stages - 1 - s, spk=True),
+            )
         return x, stage_outputs
 
 
@@ -289,15 +337,50 @@ class SepReformer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, lengths=None):
         cfg = self.cfg
         t_samples = x.shape[-1]
         x = x.astype(jnp.dtype(cfg.compute_dtype))
         enc = AudioEncoder(cfg, name="audio_encoder")(x)
-        proj = FeatureProjector(cfg, name="feature_projector")(enc)
-        last, stage_outs = Separator(cfg, name="separator")(proj, train=train)
+
+        # masked exact-eval: with per-utterance true sample counts, padded
+        # positions become invisible to every length-sensitive op, so
+        # audio[:, b, :lengths[b]] equals the reference's true-length
+        # batch-1 output regardless of bucket/batch padding.  (The aux
+        # heads are NOT masked — their per-utterance upsample ratio is
+        # non-integral, and they only feed the training losses, which run
+        # on unpadded max_len crops.)
+        enc_mask = frame_lens = None
+        if lengths is not None:
+            frame_lens = jnp.maximum(
+                (jnp.asarray(lengths, jnp.int32) - cfg.enc_kernel)
+                // cfg.enc_stride + 1,
+                1,
+            )
+            from sepreformer_tpu.models.blocks import length_mask
+
+            # frames past n0 read bucket-pad samples through the encoder
+            # conv's tail overlap — zero them to match the reference's
+            # frame-level zero pad (module.py:220-234)
+            enc_mask = length_mask(frame_lens, enc.shape[1], enc.dtype)
+            enc = enc * enc_mask
+        proj = FeatureProjector(cfg, name="feature_projector")(
+            enc, frame_lens
+        )
+        if enc_mask is not None:
+            # the masked GroupNorm output at zeroed pad frames is
+            # (0-mean)/sigma*gamma+beta != 0; the reference's separator
+            # input pad is exact zeros
+            proj = proj * enc_mask
+        last, stage_outs = Separator(cfg, name="separator")(
+            proj, train=train, frame_lens=frame_lens
+        )
 
         out = OutputLayer(cfg, masking=False, name="out_layer")(last, enc)
+        if enc_mask is not None:
+            # the final head's biases make pad frames nonzero, and frame
+            # n0's overlap-add window reaches back into valid samples
+            out = out * enc_mask[None]
         decoder = AudioDecoder(cfg, name="audio_decoder")
         audio = jnp.stack(
             [decoder(out[i])[..., :t_samples] for i in range(cfg.num_spks)]

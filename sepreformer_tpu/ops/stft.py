@@ -45,6 +45,38 @@ def make_stft_kernel(
     return (np.concatenate([real, imag], axis=1) * w[:, None]).astype(np.float32)
 
 
+def make_mel_filterbank(
+    n_freqs: int,
+    n_mels: int = 80,
+    sample_rate: int = 16000,
+    f_min: float = 0.0,
+    f_max: float = None,
+) -> np.ndarray:
+    """Triangular mel filterbank [n_freqs, n_mels], matching
+    ``torchaudio.transforms.MelScale`` defaults (HTK mel scale, no norm) —
+    the reference's ``mel_opt`` loss frontend (criterions.py:133:
+    ``MelScale(n_mels=80, sample_rate=16000, n_stft=frame_length/2+1)``;
+    torchaudio is not importable in this environment, so the filterbank is
+    built from the same published formula).
+
+    Note the reference hardcodes ``sample_rate=16000`` even for the 8 kHz
+    variants — kept for parity.
+    """
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    m_pts = np.linspace(hz2mel(f_min), hz2mel(f_max), n_mels + 2)
+    f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]     # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    return np.maximum(0.0, np.minimum(down, up)).astype(np.float32)
+
+
 def stft_magnitude(
     x: jnp.ndarray, kernel: jnp.ndarray, frame_shift: int
 ) -> jnp.ndarray:

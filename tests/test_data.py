@@ -127,7 +127,8 @@ def test_dataloader_static_shapes_and_sharding(tmp_path):
 
 
 @pytest.mark.parametrize("flavor,noise,reverb", [
-    ("wsj0", False, False), ("wham", True, False), ("whamr", True, True),
+    ("wsj0", False, False), ("wsj0_base", False, False),
+    ("wham", True, False), ("whamr", True, True),
 ])
 def test_dynamic_mixing_flavors(tmp_path, flavor, noise, reverb):
     root = _make_corpus(tmp_path, noise=noise, reverb=reverb)

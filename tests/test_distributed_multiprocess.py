@@ -128,12 +128,17 @@ cfg = VariantConfig(
     optim=OptimConfig(lr=1e-3, warmup_steps=2),
     dataset=DatasetConfig(scp_dir="scp", max_len=4000, batch_size=2,
                           num_workers=1),
-    engine=EngineConfig(max_epoch=2, start_scheduling=0, test_epochs=()),
+    # test_epochs=(1,): the round-1 advisor reproduced a crash when the
+    # inline mid-train test ran under an active mesh (batch-1 test batches
+    # cannot shard over the data axis) — exercise exactly that path
+    engine=EngineConfig(max_epoch=2, start_scheduling=0, test_epochs=(1,)),
 )
 loaders = build_dataloaders(cfg.dataset, "train", scp_root=corpus,
                             host_id=pid, num_hosts=2)
 # cross-host lockstep: both hosts must report the identical step count
 n_steps = len(loaders["train"])
+# host-sharded test set: the shards must partition the keys exactly
+test_keys_local = loaders["test"].dataset.keys[pid::2]
 mesh = create_mesh(4, 1)  # 2 procs x 2 local devices, pure data parallel
 engine = Engine(cfg, workdir, loaders, mesh=mesh)
 res = engine.run("train")
@@ -142,7 +147,21 @@ assert len(h) == 1, h
 import math
 assert all(math.isfinite(e["time_loss"]) and math.isfinite(e["valid"])
            for e in h), h
-print(f"proc {pid} ENGINE OK steps={n_steps} valid={h[0]['valid']:.6f}")
+
+# multi-host _test: each utterance evaluated exactly once (host-sharded
+# loader + merged CSV) and the summary metric identical on both hosts
+out = engine._test(compute_sdr=False)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("csv_check")
+if pid == 0:
+    import csv as _csv
+    with open(os.path.join(workdir, "test_SISNRi_value.csv")) as f:
+        rows = list(_csv.reader(f))
+    keys = [r[0] for r in rows]
+    all_keys = sorted(engine.loaders["test"].dataset.keys)
+    assert keys == all_keys, (keys, all_keys)
+print(f"proc {pid} ENGINE OK steps={n_steps} valid={h[0]['valid']:.6f} "
+      f"sisnri={out['sisnri']:.6f}")
 """
 
 
@@ -177,7 +196,9 @@ def test_two_process_engine_train(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous: 2 engine+eval compile sets on 2 shared CPU cores under
+        # xdist contention took > 600 s once
+        out, _ = p.communicate(timeout=1200)
         outs.append(out)
     lines = []
     for pid, (p, out) in enumerate(zip(procs, outs)):

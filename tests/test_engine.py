@@ -247,10 +247,14 @@ def test_periodic_checkpoint_and_step_logging(corpus, tmp_path, caplog):
 
 def test_steps_per_dispatch_matches_single_dispatch(corpus, tmp_path):
     """engine.steps_per_dispatch=2 (grouped lax.scan dispatch) must
-    reproduce the per-step dispatch training exactly when dropout=0
-    (identical math, different dispatch granularity)."""
+    reproduce the per-step dispatch training exactly INCLUDING dropout:
+    the grouped scan consumes the same per-step rng keys the single-step
+    path draws (identical math, different dispatch granularity)."""
+    from dataclasses import replace
+
     def run(k, sub):
         cfg = tiny_variant(corpus, steps_per_dispatch=k)
+        cfg = replace(cfg, model=replace(cfg.model, dropout=0.2))
         loaders = build_dataloaders(cfg.dataset, "train", scp_root=corpus)
         engine = Engine(cfg, str(tmp_path / sub), loaders, seed=5)
         return engine.run("train")["history"]

@@ -126,3 +126,43 @@ def test_relpos_barrier_equivalence():
     audio_b, _ = jax.jit(model_b.apply)(variables, x)
     np.testing.assert_allclose(np.asarray(audio), np.asarray(audio_b),
                                rtol=0, atol=1e-6)
+
+
+def test_embed_v_parameter_parity():
+    """embed_v=True creates the pe_v table (reference module.py:50) and it
+    converts in both directions — while leaving every output unchanged,
+    because the reference's attention math never consumes pe_v (MHA takes
+    pos_k only, network.py:90-113)."""
+    from sepreformer_tpu.models.convert import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+    )
+
+    cfg_v = tiny_cfg(embed_v=True)
+    cfg_plain = tiny_cfg()
+    model_v = SepReformer(cfg_v)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 800)), jnp.float32
+    )
+    variables = jax.jit(model_v.init)(jax.random.key(0), x)
+    pe_v = variables["params"]["separator"]["pos_emb"]["pe_v"]
+    assert pe_v.shape == (2 * cfg_v.pos_maxlen, cfg_v.head_dim)
+
+    # output identical to the embed_v=False model on the same params
+    out_v, _ = model_v.apply(variables, x)
+    import flax
+    params_plain = flax.core.unfreeze(variables["params"])
+    del params_plain["separator"]["pos_emb"]["pe_v"]
+    out_p, _ = SepReformer(cfg_plain).apply(
+        {"params": params_plain, "batch_stats": variables["batch_stats"]}, x
+    )
+    np.testing.assert_array_equal(np.asarray(out_v), np.asarray(out_p))
+
+    # converter: exports the reference key and round-trips exactly
+    sd = export_torch_state_dict(variables, cfg_v)
+    assert "separator.pos_emb.pe_v.weight" in sd
+    back = convert_torch_state_dict(sd, cfg_v)
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["separator"]["pos_emb"]["pe_v"]),
+        np.asarray(pe_v),
+    )

@@ -107,3 +107,59 @@ def test_model_parallel_train_step_runs():
     # sharded q kernel really is distributed over the model axis
     q = new_state.params["separator"]["enc_0"]["global_1"]["ega"]["attn"]["q"]["kernel"]
     assert len(q.sharding.device_set) >= 2
+
+
+def test_engine_forces_xla_paths_under_model_axis(tmp_path):
+    """With model_parallel_size > 1 the Engine pins every fused-kernel
+    knob to its XLA path: pallas_call operands have no partitioning rule
+    under a model-sharded pjit, so the policy must be explicit (round-1
+    verdict item)."""
+    from dataclasses import replace
+
+    from sepreformer_tpu.engine.engine import Engine
+
+    cfg = tiny_variant()
+    cfg = replace(cfg, sharding=replace(cfg.sharding,
+                                        model_parallel_size=2))
+    mesh = create_mesh(data=2, model=2)
+    eng = Engine(cfg, str(tmp_path / "w"), {}, mesh=mesh)
+    m = eng.cfg.model
+    assert (m.fused_ffn, m.fused_local, m.fused_pair,
+            m.fused_depthwise) == ("off",) * 4
+    assert m.attention_impl == "xla" and m.attention_train_impl == "xla"
+
+    # data-parallel-only meshes keep the measured kernel defaults
+    cfg2 = tiny_variant()
+    eng2 = Engine(cfg2, str(tmp_path / "w2"), {},
+                  mesh=create_mesh(data=4, model=1))
+    assert eng2.cfg.model.fused_ffn == "auto"
+
+
+def test_sharded_checkpoint_restore_into_mesh(tmp_path):
+    """A model-sharded TrainState round-trips through orbax: save while
+    sharded over a (2,2) mesh, restore into a fresh Engine, re-shard —
+    leaves identical and the q kernel distributed again."""
+    from dataclasses import replace
+
+    from sepreformer_tpu.engine.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from sepreformer_tpu.engine.engine import Engine
+
+    cfg = replace(tiny_variant(),
+                  sharding=replace(tiny_variant().sharding,
+                                   model_parallel_size=2))
+    mesh = create_mesh(data=2, model=2)
+    eng = Engine(cfg, str(tmp_path / "w"), {}, mesh=mesh, seed=3)
+    host_before = jax.device_get(eng.state.params)
+    save_checkpoint(eng.ckpt_dir, 7, eng.state,
+                    extra={"lr_ctl": {"lr": 1e-3}})
+
+    eng2 = Engine(cfg, str(tmp_path / "w"), {}, mesh=mesh, seed=9)
+    assert eng2.start_epoch == 8  # resumed from epoch 7
+    q = eng2.state.params["separator"]["enc_0"]["global_1"]["ega"]["attn"]["q"]["kernel"]
+    assert len(q.sharding.device_set) >= 2
+    for a, b in zip(jax.tree.leaves(host_before),
+                    jax.tree.leaves(jax.device_get(eng2.state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

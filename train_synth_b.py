@@ -31,4 +31,10 @@ if __name__ == "__main__":
         "--max-epoch", "121",
         "--workdir", "models/SepReformer_B_synth",
         "--set", "engine.steps_per_dispatch=8",
+        # the reference steps warmup per-iteration during epoch 1 ONLY
+        # (engine.py:61); with 150 steps/epoch the default 1000-step
+        # warmup would freeze the LR at 0.15e-3 — scale it to one epoch
+        # so the run reaches the full 1e-3 (same setting as the round-1
+        # SepReformer-T run)
+        "--set", "optim.warmup_steps=150",
     ]))
