@@ -9,6 +9,12 @@ jitted program with a data dependency between iterations, so the reported
 time is true device compute — on this container's axon tunnel,
 ``block_until_ready`` returns before execution finishes and naive loops
 measure dispatch latency (up to 100x optimistic).
+
+Operating point: B=4 x 4 s is the measured throughput KNEE
+(BENCH_SWEEP_infer.json / ARCHITECTURE.md "Batch scaling"): audio-s/s
+falls monotonically with batch (639 @ B4 -> 423 @ B32) with superlinear
+step-time growth despite exactly-linear compiled FLOPs/bytes, so larger
+batches only lose.
 """
 
 from __future__ import annotations

@@ -112,6 +112,17 @@ def main(argv: Optional[list] = None) -> int:
 
     import jax
 
+    # Persistent XLA compile cache: the full train-step compile costs
+    # minutes on a tunneled TPU; caching makes resumes / re-runs of the
+    # same config start in seconds.  Opt out with SEPREFORMER_NO_CACHE=1.
+    if not os.environ.get("SEPREFORMER_NO_CACHE"):
+        cache_dir = os.environ.get(
+            "SEPREFORMER_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from sepreformer_tpu.parallel.distributed import initialize_distributed
 
     initialize_distributed()

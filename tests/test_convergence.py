@@ -52,12 +52,17 @@ def test_train_step_overfits_single_mixture():
 
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
-    assert last < first - 3.0, f"no learning: {first:.2f} -> {last:.2f}"
+    assert last < first - 8.0, f"no learning: {first:.2f} -> {last:.2f}"
 
-    # separation quality on the training mixture must be clearly positive
+    # Separation quality on the training mixture must be deep, not merely
+    # positive: this seeded setup reaches ~19.5 dB SI-SNRi at step 80
+    # (trajectory: 18.97 dB @40, 19.55 @80, 21.2 @120 — measured on CPU),
+    # so a 10 dB floor catches subtle training-math regressions (wrong
+    # loss scaling, grad clipping, optimizer wiring) that a "> 3 dB"
+    # canary would miss, with ~9.5 dB of seed margin.
     from sepreformer_tpu.engine.train import make_forward_fn
 
     fwd = make_forward_fn(cfg)
     est = np.asarray(fwd(state.params, state.batch_stats, mix))[:, 0]
     sisnri, _ = pit_sisnri_np(est, np.stack([s1, s2]), np.asarray(mix[0]))
-    assert sisnri > 3.0, f"SI-SNRi {sisnri:.2f} dB after overfitting"
+    assert sisnri > 10.0, f"SI-SNRi {sisnri:.2f} dB after overfitting"

@@ -37,4 +37,6 @@ if __name__ == "__main__":
         # so the run reaches the full 1e-3 (same setting as the round-1
         # SepReformer-T run)
         "--set", "optim.warmup_steps=150",
+        # extra flags (e.g. --set engine.test_epochs=...) pass through
+        *sys.argv[1:],
     ]))
