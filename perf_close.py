@@ -93,6 +93,15 @@ def main() -> None:
                                         compute_dtype="bfloat16"))
     timed_infer(bf16, 4, "infer_bf16_b4", cost=True)
 
+    # single-block attention kernel serving eval (attention_impl="single"):
+    # keeps the pe bias in VMEM, so the [L, d, L] pos_kt relayout copies
+    # (~16% of the B=4 step) never materialize — candidate new default if
+    # it wins here
+    single = dataclasses.replace(
+        base, model=dataclasses.replace(base.model,
+                                        attention_impl="single"))
+    timed_infer(single, 4, "infer_single_b4", cost=True)
+
     # 3. train at B=8
     state = create_train_state(base, jax.random.key(0), sample_len=t_samples)
     train_step = make_train_step(base, donate=False)

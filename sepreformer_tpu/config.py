@@ -44,8 +44,12 @@ class ModelConfig:
     norm_eps: float = 1.0e-5      # LayerNorm/BatchNorm eps (torch default)
     group_norm_eps: float = 1.0e-8  # GroupNorm eps (module.py:29,124)
     # global-attention implementation: "auto" (Pallas flash kernel on TPU
-    # for deterministic passes, XLA elsewhere), "xla", "pallas", or
-    # "pallas_interpret" (testing)
+    # for deterministic passes, XLA elsewhere), "xla", "pallas",
+    # "pallas_interpret" (testing), or "single"/"single_interpret" (the
+    # single-block train kernel's forward at dropout 0 serving eval at
+    # lengths <= 512 — keeps the pe bias in VMEM so the [L, d, L] pos_kt
+    # relayout copies never materialize; opt-in pending on-chip
+    # measurement, see perf_close.py)
     attention_impl: str = "auto"
     # TRAIN-time global-attention implementation: "auto" (Pallas train
     # kernel — fused fwd with hash attention-prob dropout + handwritten

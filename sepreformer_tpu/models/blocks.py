@@ -532,6 +532,41 @@ class MultiHeadAttention(nn.Module):
         impl = (
             resolve_attention_impl(pos.impl, t) if pos is not None else "xla"
         )
+        # "single": the single-block TRAIN kernel's forward (dropout 0)
+        # serving EVAL at bottleneck lengths — it keeps the pe bias
+        # in-kernel, so the [L, d, L] pos_kt materialization and its
+        # per-consumer relayout copies (~16% of the B=4 forward,
+        # ARCHITECTURE.md profile) never exist.  Opt-in pending an
+        # on-chip measurement (perf_close.py); falls back to the dense
+        # path beyond the kernel's 512-length ceiling or under key masks.
+        use_single = (
+            pos is not None
+            and impl in ("single", "single_interpret")
+            and (not train or self.dropout == 0.0)
+            and key_lens is None
+        )
+        if use_single:
+            from sepreformer_tpu.ops.pallas.attention_train import (
+                supported_length as _single_ok,
+            )
+
+            use_single = _single_ok(t)
+        if use_single:
+            from sepreformer_tpu.ops.pallas.attention_train import (
+                flash_relpos_attention_train,
+            )
+
+            out = flash_relpos_attention_train(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), pos.table.astype(x.dtype),
+                jnp.int32(0), pos.maxlen, 0.0,
+                impl == "single_interpret",
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+            out = TorchLinear(self.dim, name="out")(out)
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+            return LayerScale(self.dim, self.layer_scale_init,
+                              name="layer_scale")(out)
         # the inference Pallas kernel has no attention-prob dropout; use it
         # only for deterministic passes or dropout-free models
         use_flash = (
