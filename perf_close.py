@@ -101,6 +101,9 @@ def main() -> None:
         base, model=dataclasses.replace(base.model,
                                         attention_impl="single"))
     timed_infer(single, 4, "infer_single_b4", cost=True)
+    # b8 with the copies gone: if the superlinear batch scaling vanishes,
+    # the rel-pos relayout copies were its cause
+    timed_infer(single, 8, "infer_single_b8")
 
     # 3. train at B=8
     state = create_train_state(base, jax.random.key(0), sample_len=t_samples)

@@ -252,7 +252,13 @@ def generate_corpus(
                 noise = noise * sig_rms * 10.0 ** (-noise_snr / 20.0)
                 mix = mix + noise
                 extra["n"] = noise
-            peak = max(np.abs(mix).max(), np.abs(s1).max(), np.abs(s2).max())
+            # the peak must span EVERY written signal: the reverberant
+            # copies (and noise) can exceed the dry/mix peaks when the
+            # mixture partially cancels, and write_wav clips at 1.0 —
+            # a clipped s?_reverb would break mix == r1 + r2 + n for the
+            # WHAMR dynamic-mixing consumer
+            peak = max(np.abs(mix).max(), np.abs(s1).max(), np.abs(s2).max(),
+                       *[np.abs(v).max() for v in extra.values()])
             scale = 0.9 / max(peak, 1e-8)
             s1, s2, mix = s1 * scale, s2 * scale, mix * scale
             extra = {k: v * scale for k, v in extra.items()}

@@ -363,9 +363,15 @@ class Engine:
             mix = batch.mixture
             if self.cfg.engine.mvn:
                 mix = apply_cmvn(mix, batch.input_sizes)
+            # when no row is padded (batch 1 at an exact bucket, or a
+            # uniform-length bucket) the mask is a no-op — pass None so
+            # long utterances keep the flash-attention path, which takes
+            # no key mask (resolve_attention_impl routes L >= 1024 to it)
+            sizes = np.asarray(batch.input_sizes)
+            lens = (None if np.all(sizes == mix.shape[-1])
+                    else jnp.asarray(sizes, jnp.int32))
             audio = np.asarray(forward(
-                params, batch_stats, jnp.asarray(mix),
-                jnp.asarray(batch.input_sizes, jnp.int32),
+                params, batch_stats, jnp.asarray(mix), lens,
             ))
             for j in range(batch.batch_size):
                 t = int(batch.input_sizes[j])
@@ -452,6 +458,11 @@ class Engine:
         """
         out_dir = out_dir or os.path.dirname(os.path.abspath(sample_file))
         wav, sr = read_wav(sample_file, sr=self.cfg.dataset.sampling_rate)
+        if self.cfg.engine.mvn:
+            # same preprocessing as _test/_prep (ref utils/functions.py:1-4
+            # via engine.py:57) — a model trained on normalized input must
+            # not be fed raw audio here
+            wav = apply_cmvn(wav[None])[0]
         t = len(wav)
         stride = self.cfg.model.enc_stride
         chunk_len = (

@@ -731,11 +731,15 @@ class EGA(nn.Module):
         t = x.shape[1]
         down_len = pos.length
         x_down = adaptive_avg_pool_time(x, down_len)
-        # masked exact-eval: stage length / bottleneck length is always an
-        # exact power of two (padded_frames pads to 2^R), so pool windows
-        # never straddle a valid/pad boundary — a window is either fully
-        # valid (reads only real frames) or fully pad (masked via key_lens
-        # below).  No mask-weighted pooling needed.
+        # masked exact-eval: the stage length is a multiple of
+        # 2^(num_stages - s) (padded_frames pads L0 to a MULTIPLE of
+        # 2^num_stages, not to a power of two), so the pool ratio
+        # t // down_len is an exact integer and windows never straddle a
+        # valid/pad boundary — a window is either fully valid (reads only
+        # real frames) or fully pad (masked via key_lens below).  No
+        # mask-weighted pooling needed.  If the padding policy or pool
+        # ratio changes, this divisibility must be re-checked or weighted
+        # pooling added.
         pooled_lens = (
             seq_lens // (t // down_len) if seq_lens is not None else None
         )

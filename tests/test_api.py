@@ -65,3 +65,31 @@ def test_load_separator_from_orbax_workdir(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_separator(cfg, checkpoint=str(tmp_path / "nope"))
+
+
+def test_separator_padding_invisible():
+    """Bucket padding must not change the separated samples: the API now
+    threads true lengths into the masked exact-eval path, so the output
+    at an odd length equals a direct unpadded forward (the reference's
+    batch-1 true-length processing)."""
+    import jax.numpy as jnp
+
+    from sepreformer_tpu import load_separator
+    from sepreformer_tpu.engine.train import make_forward_fn
+
+    sep = load_separator(_tiny_cfg())
+    t = 6000  # multiple of enc_stride -> an exact unpadded forward exists
+    wav = np.random.default_rng(1).normal(scale=0.1, size=t).astype(np.float32)
+    outs = sep(wav)  # pads to the 8000-sample bucket internally
+
+    fwd = make_forward_fn(sep.variant)
+    direct = np.asarray(
+        fwd(sep.params, sep.batch_stats, jnp.asarray(wav[None]))
+    )[:, 0, :]
+    got = np.stack(outs)
+    # PIT: match each direct source to the closer API output
+    err = min(
+        np.abs(got - direct).max(),
+        np.abs(got[::-1] - direct).max(),
+    )
+    assert err <= 1e-4, f"bucket padding visible: max abs diff {err}"

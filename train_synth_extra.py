@@ -25,32 +25,34 @@ RUNS = {
     "large": [
         "--model", "SepReformer_Large_DM_WSJ0",
         "--scp-dir", "data_synth/scp",
-        # Large at 4 s segments fits batch 2 on one v5e chip (STATUS.md);
-        # warmup scaled to one epoch as in the B/T runs
-        "--batch-size", "4",
+        # Large at 4 s segments was measured at batch 2 on one v5e chip
+        # (STATUS.md) — stay at the measured point; batch 4 is untested
+        # for HBM fit and an OOM after the long compile would waste the
+        # run.  Warmup scaled to one epoch as in the B/T runs.
+        "--batch-size", "2",
         "--max-epoch", "13",
         "--workdir", "models/SepReformer_L_synth",
-        "--set", "optim.warmup_steps=150",
+        "--set", "optim.warmup_steps=600",
         "--set", "engine.test_epochs=6,12",
         "--set", "engine.steps_per_dispatch=8",
     ],
     "wham": [
         "--model", "SepReformer_Large_DM_WHAM",
         "--scp-dir", "data_synth_wham/scp",
-        "--batch-size", "4",
+        "--batch-size", "2",
         "--max-epoch", "13",
         "--workdir", "models/SepReformer_WHAM_synth",
-        "--set", "optim.warmup_steps=150",
+        "--set", "optim.warmup_steps=600",
         "--set", "engine.test_epochs=6,12",
         "--set", "engine.steps_per_dispatch=8",
     ],
     "whamr": [
         "--model", "SepReformer_Large_DM_WHAMR",
         "--scp-dir", "data_synth_whamr/scp",
-        "--batch-size", "4",
+        "--batch-size", "2",
         "--max-epoch", "13",
         "--workdir", "models/SepReformer_WHAMR_synth",
-        "--set", "optim.warmup_steps=150",
+        "--set", "optim.warmup_steps=600",
         "--set", "engine.test_epochs=6,12",
         "--set", "engine.steps_per_dispatch=8",
     ],
@@ -58,4 +60,5 @@ RUNS = {
 
 if __name__ == "__main__":
     which = sys.argv[1]
-    sys.exit(main(["--engine-mode", "train", *RUNS[which]]))
+    # extra flags (e.g. --set engine.test_epochs=...) pass through
+    sys.exit(main(["--engine-mode", "train", *RUNS[which], *sys.argv[2:]]))
