@@ -317,11 +317,20 @@ class LayerScale(nn.Module):
 class FoldableBatchNorm(nn.Module):
     """BatchNorm with ``nn.BatchNorm``-identical param/variable names and
     math (params scale/bias, batch_stats mean/var, f32 statistics, biased
-    variance, per-replica stats), plus ``return_folded=True`` which returns
+    variance), plus ``return_folded=True`` which returns
     the running-stats normalization folded to an affine (s, t) with
     y = x*s + t — consumed by the fused CLA kernel.  The fold happens in
     regular jax (outside the kernel's custom_vjp), so gamma/beta gradients
-    flow through it."""
+    flow through it.
+
+    Data-parallel semantics (SURVEY "hard parts" decision): under pjit
+    with the batch sharded over the data mesh axis, the jnp.mean below is
+    a GLOBAL-batch mean (GSPMD inserts the cross-replica reduction) —
+    i.e. sync-BN by construction.  The reference's DataParallel computes
+    per-GPU statistics that silently drift between replicas
+    (ref modules/module.py BatchNorm1d under DP); global statistics are
+    the deliberate improvement here, and single-device runs (where all
+    parity tests execute) are bit-identical to the reference semantics."""
 
     features: int
     momentum: float = 0.9
