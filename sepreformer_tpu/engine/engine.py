@@ -221,20 +221,28 @@ class Engine:
                 "engine.steps_per_dispatch > 1 is single-process only; "
                 "set it to 1 for multi-host runs"
             )
-        tot_time, tot_mag, n = 0.0, 0.0, 0
+        # per-step losses accumulate as DEVICE scalars and convert to host
+        # floats only at logging points / epoch end: a float() per step is
+        # a synchronous device round trip, and on a dispatch tunnel that
+        # latency (not compute) dominates the k=1 step loop
+        pend_t: list = []
+        pend_m: list = []
 
-        def account(time_loss: float, mag_loss: float):
-            nonlocal tot_time, tot_mag, n
-            tot_time += time_loss / self.cfg.model.num_spks
-            tot_mag += mag_loss / self.cfg.model.num_spks
-            n += 1
+        def account(time_loss, mag_loss):
+            pend_t.append(time_loss)
+            pend_m.append(mag_loss)
+            n = len(pend_t)
             every = self.cfg.engine.log_every_steps
             if every and n % every == 0:
                 # running-mean postfix, the reference's tqdm equivalent
-                # (engine.py:78-80)
+                # (engine.py:78-80); forces a sync, but only at the
+                # user-chosen cadence
+                spks = self.cfg.model.num_spks
                 log.info(
                     "epoch %d step %d/%d: T_loss %.4f F_loss %.4f lr %.2e",
-                    epoch, n, len(loader), tot_time / n, tot_mag / n,
+                    epoch, n, len(loader),
+                    sum(float(x) for x in pend_t) / n / spks,
+                    sum(float(x) for x in pend_m) / n / spks,
                     self.lr_ctl.lr,
                 )
 
@@ -248,8 +256,8 @@ class Engine:
                     self.state, metrics = self.train_step(
                         self.state, mix, src, lr, jnp.float32(alpha), rng,
                     )
-                    account(float(metrics["time_loss"]),
-                            float(metrics["mag_loss_mean"]))
+                    # device scalars, deferred conversion (see account)
+                    account(metrics["time_loss"], metrics["mag_loss_mean"])
                 return
             if self._group_step is None or self._group_k != len(group):
                 self._group_step = make_train_step_group(
@@ -289,17 +297,26 @@ class Engine:
                 flush(group)
                 group = []
         flush(group)
+        n = len(pend_t)
+        spks = self.cfg.model.num_spks
+        tot_time = sum(float(x) for x in pend_t) / spks
+        tot_mag = sum(float(x) for x in pend_m) / spks
         return {"time_loss": tot_time / max(1, n), "mag_loss": tot_mag / max(1, n)}
 
     def _validate(self) -> Dict[str, float]:
         loader = self.loaders["valid"]
-        tot_time, tot_mag, n = 0.0, 0.0, 0
+        # accumulate device scalars; one sync at the end of the pass (a
+        # float() per batch costs a tunnel round trip each — see
+        # _train_epoch.account)
+        pend = []
         for batch in loader:
             mix, src = self._prep(batch)
             metrics = self.eval_step(self.state, mix, src)
-            tot_time += float(metrics["time_loss"]) / self.cfg.model.num_spks
-            tot_mag += float(metrics["mag_loss_mean"]) / self.cfg.model.num_spks
-            n += 1
+            pend.append((metrics["time_loss"], metrics["mag_loss_mean"]))
+        spks = self.cfg.model.num_spks
+        tot_time = sum(float(t) for t, _ in pend) / spks
+        tot_mag = sum(float(m) for _, m in pend) / spks
+        n = len(pend)
         # valid loaders are host-sharded (build_dataloaders); the plateau
         # LR and best-checkpoint decisions branch on this value, so it must
         # be the identical global mean on every host or the cluster's

@@ -12,6 +12,7 @@ from __future__ import annotations
 import functools
 from typing import Any, Callable, Dict, List, Sequence
 
+import numpy as np
 import optax
 
 from sepreformer_tpu.config import VariantConfig
@@ -83,7 +84,8 @@ def make_criterions(cfg: VariantConfig) -> Dict[str, Callable]:
     from sepreformer_tpu.metrics import sdri_np
     from sepreformer_tpu.ops.stft import make_stft_kernel
 
-    kernel = jnp.asarray(
+    # numpy constant (host-side embed at lowering, no device fetch)
+    kernel = np.asarray(
         make_stft_kernel(
             cfg.criterion.stft.frame_length,
             cfg.criterion.stft.frame_shift,

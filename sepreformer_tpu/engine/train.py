@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import FrozenDict
@@ -85,8 +86,11 @@ def make_loss_mel_fb(cfg: VariantConfig) -> Optional[jnp.ndarray]:
         return None
     from sepreformer_tpu.ops.stft import make_mel_filterbank
 
-    return jnp.asarray(
-        make_mel_filterbank(cfg.criterion.stft.frame_length // 2 + 1)
+    # numpy constant: embeds host-side at lowering (an eager jnp.asarray
+    # becomes a device constant fetched back synchronously at compile)
+    return np.asarray(
+        make_mel_filterbank(cfg.criterion.stft.frame_length // 2 + 1),
+        np.float32,
     )
 
 
@@ -118,12 +122,14 @@ def _build_train_step(cfg: VariantConfig, debug_grads: bool = False):
     """The raw (unjitted) train-step function; see make_train_step."""
     model = SepReformer(cfg.model)
     tx = make_optimizer(cfg)
-    kernel = jnp.asarray(
+    # numpy constant (host-side embed at lowering; see make_loss_mel_fb)
+    kernel = np.asarray(
         make_stft_kernel(
             cfg.criterion.stft.frame_length,
             cfg.criterion.stft.frame_shift,
             cfg.criterion.stft.window,
-        )
+        ),
+        np.float32,
     )
     num_spks = cfg.model.num_spks
     mel_fb = make_loss_mel_fb(cfg)
@@ -257,12 +263,13 @@ def make_eval_step(cfg: VariantConfig):
     """Validation losses under running BN stats, no dropout
     (engine.py:86-110)."""
     model = SepReformer(cfg.model)
-    kernel = jnp.asarray(
+    kernel = np.asarray(
         make_stft_kernel(
             cfg.criterion.stft.frame_length,
             cfg.criterion.stft.frame_shift,
             cfg.criterion.stft.window,
-        )
+        ),
+        np.float32,
     )
 
     mel_fb = make_loss_mel_fb(cfg)

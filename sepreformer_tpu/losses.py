@@ -230,8 +230,10 @@ def pit_sisnr_improvement(
     improvement = (snr_est - snr_mix).transpose(2, 0, 1)  # [B, e, s]
     totals = _gather_perm_totals(improvement)             # [P, B]
     best = jnp.argmax(totals, axis=0)                     # [B]
-    perms = jnp.asarray(_perm_matrix(spks))
-    chosen = perms[best]                                  # [B, spks]
+    # numpy constant (host-side embed at lowering; an eager jnp.asarray
+    # would create a device constant fetched back synchronously)
+    perms = np.asarray(_perm_matrix(spks))
+    chosen = jnp.take(perms, best, axis=0)                # [B, spks]
     # per_src[b, s] = improvement[b, s, chosen[b, s]]
     per_src = jnp.take_along_axis(
         improvement, chosen[:, :, None], axis=2

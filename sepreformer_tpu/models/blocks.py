@@ -59,7 +59,11 @@ def rel_table(table: jnp.ndarray, t: int, maxlen: int) -> jnp.ndarray:
     """
     r = np.arange(2 * t - 1)
     idx = np.clip((t - 1) - r, -maxlen, maxlen - 1) + maxlen
-    return jnp.take(table, jnp.asarray(idx, jnp.int32), axis=0)
+    # keep the index a NUMPY constant: jnp.asarray here would execute
+    # eagerly during tracing, creating a device-resident constant that
+    # MLIR lowering fetches back synchronously (minutes over a dispatch
+    # tunnel); numpy constants embed host-side for free
+    return jnp.take(table, np.asarray(idx, np.int32), axis=0)
 
 
 def gather_pos_kt(table: jnp.ndarray, t: int, maxlen: int) -> jnp.ndarray:
@@ -68,7 +72,7 @@ def gather_pos_kt(table: jnp.ndarray, t: int, maxlen: int) -> jnp.ndarray:
     layout (see RelPos docstring)."""
     pos = np.arange(t)
     rel = np.clip(pos[:, None] - pos[None, :], -maxlen, maxlen - 1) + maxlen
-    pos_k = jnp.take(table, jnp.asarray(rel, jnp.int32), axis=0)  # [t, t, d]
+    pos_k = jnp.take(table, np.asarray(rel, np.int32), axis=0)  # [t, t, d]
     return jnp.swapaxes(pos_k, 1, 2)
 
 
@@ -661,10 +665,9 @@ class MultiHeadAttention(nn.Module):
 
         if s == 2:
             # head-pool: [F, H] 0/1 block-diagonal; expand: its transpose
-            pool = jnp.asarray(
-                np.kron(np.eye(h, dtype=np.float32), np.ones((d, 1), np.float32)),
-                x.dtype,
-            )
+            pool = np.kron(
+                np.eye(h, dtype=np.float32), np.ones((d, 1), np.float32)
+            ).astype(np.dtype(x.dtype))  # numpy constant (host-side embed)
             q0, q1 = q[:, 0], q[:, 1]          # [B, T, F]
             k0, k1 = k[:, 0], k[:, 1]
             v0, v1 = v[:, 0], v[:, 1]

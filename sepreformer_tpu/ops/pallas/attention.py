@@ -143,7 +143,7 @@ def _build_pe_pad(pe_table: jnp.ndarray, lp: int, maxlen: int) -> jnp.ndarray:
     """
     rel = lp - 1 - np.arange(2 * lp)
     idx = np.clip(rel, -maxlen, maxlen - 1) + maxlen
-    return jnp.take(pe_table, jnp.asarray(idx, jnp.int32), axis=0)
+    return jnp.take(pe_table, np.asarray(idx, np.int32), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("maxlen", "interpret", "block"))
@@ -203,7 +203,7 @@ def relpos_attention_reference(
     b, h, l, d = q.shape
     pos = np.arange(l)
     rel = np.clip(pos[:, None] - pos[None, :], -maxlen, maxlen - 1) + maxlen
-    pos_k = jnp.take(pe_table, jnp.asarray(rel, jnp.int32), axis=0)
+    pos_k = jnp.take(pe_table, np.asarray(rel, np.int32), axis=0)
     scores = jnp.einsum("bhid,bhjd->bhij", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores + jnp.einsum("bhid,ijd->bhij", q,

@@ -241,7 +241,7 @@ def _bwd_impl(q, k, v, pe_table, seed, dout, maxlen, p_drop, interpret):
     rel = lp - 1 - np.arange(2 * lp)
     idx = np.clip(rel, -maxlen, maxlen - 1) + maxlen
     dtable = jnp.zeros(pe_table.shape, jnp.float32).at[
-        jnp.asarray(idx, jnp.int32)
+        np.asarray(idx, np.int32)
     ].add(dpe_pad)
     return (unprep(dq), unprep(dk), unprep(dv),
             dtable.astype(pe_table.dtype))
@@ -258,14 +258,14 @@ def attention_train_reference(q, k, v, pe_table, maxlen, seed, p_drop):
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, lp - l), (0, 0)))
     pos = np.arange(lp)
     rel = np.clip(pos[:, None] - pos[None, :], -maxlen, maxlen - 1) + maxlen
-    pos_k = jnp.take(pe_table, jnp.asarray(rel, jnp.int32), axis=0)
+    pos_k = jnp.take(pe_table, np.asarray(rel, np.int32), axis=0)
     s = jnp.einsum("bhid,bhjd->bhij", qp, kp,
                    preferred_element_type=jnp.float32)
     s = s + jnp.einsum("bhid,ijd->bhij", qp, pos_k.astype(qp.dtype),
                        preferred_element_type=jnp.float32)
     s = s / math.sqrt(d)
     col = np.arange(lp)[None, None, None, :]
-    s = jnp.where(jnp.asarray(col < l), s, NEG_INF)
+    s = jnp.where(np.asarray(col < l), s, NEG_INF)
     probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
     if p_drop > 0.0:
         bh = jnp.arange(b * h, dtype=jnp.int32).reshape(b, h, 1, 1)

@@ -62,7 +62,7 @@ def _halo_windows(x: jnp.ndarray, bt: int, halo: int) -> jnp.ndarray:
     nt = t // bt
     xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0)))
     idx = np.arange(nt)[:, None] * bt + np.arange(bt + 2 * halo)[None, :]
-    return jnp.take(xp, jnp.asarray(idx, jnp.int32), axis=1)
+    return jnp.take(xp, np.asarray(idx, np.int32), axis=1)
 
 
 def _erf(x):

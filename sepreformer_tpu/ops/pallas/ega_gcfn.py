@@ -135,8 +135,8 @@ def _impl(x, x_down, gate_params, gcfn_params, eps: float,
     def boundary(a):
         ap = jnp.pad(a, ((0, 0), (1, 1), (0, 0)))
         return jnp.stack(
-            [jnp.take(ap, jnp.asarray(idx_prev), axis=1),
-             jnp.take(ap, jnp.asarray(idx_next), axis=1)],
+            [jnp.take(ap, np.asarray(idx_prev), axis=1),
+             jnp.take(ap, np.asarray(idx_next), axis=1)],
             axis=2,
         )                                  # [B, nT, 2, F]
 

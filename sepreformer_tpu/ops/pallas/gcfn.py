@@ -128,8 +128,8 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False):
     idx_prev = np.arange(nt) * bt          # padded index of orig i*bt - 1
     idx_next = np.arange(nt) * bt + bt + 1  # padded index of orig i*bt + bt
     xb = jnp.stack(
-        [jnp.take(xp, jnp.asarray(idx_prev), axis=1),
-         jnp.take(xp, jnp.asarray(idx_next), axis=1)],
+        [jnp.take(xp, np.asarray(idx_prev), axis=1),
+         jnp.take(xp, np.asarray(idx_next), axis=1)],
         axis=2,
     )                                       # [B, nT, 2, F]
 

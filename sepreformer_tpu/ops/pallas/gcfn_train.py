@@ -322,7 +322,7 @@ def _boundary_rows(x, bt, offsets):
     pad = max(-min(offsets), max(offsets) - t + 1, 0) + 2
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
     idx = np.arange(nt)[:, None] * bt + np.asarray(offsets)[None, :] + pad
-    return jnp.take(xp, jnp.asarray(idx, jnp.int32), axis=1)
+    return jnp.take(xp, np.asarray(idx, np.int32), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "p", "interpret"))

@@ -34,7 +34,7 @@ def adaptive_avg_pool_time(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     mat = np.zeros((out_len, t), dtype=np.float32)
     for i, (s, e) in enumerate(zip(starts, ends)):
         mat[i, s:e] = 1.0 / (e - s)
-    pool = jnp.asarray(mat, dtype=x.dtype)
+    pool = mat.astype(np.dtype(x.dtype))  # numpy constant (host embed)
     return jnp.einsum("ot,btf->bof", pool, x, preferred_element_type=x.dtype)
 
 
@@ -46,4 +46,4 @@ def nearest_upsample_time(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     if out_len % t == 0:
         return jnp.repeat(x, out_len // t, axis=1)
     idx = np.floor(np.arange(out_len) * t / out_len).astype(np.int32)
-    return jnp.take(x, jnp.asarray(idx), axis=1)
+    return jnp.take(x, np.asarray(idx), axis=1)
