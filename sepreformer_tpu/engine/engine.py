@@ -224,25 +224,41 @@ class Engine:
         # per-step losses accumulate as DEVICE scalars and convert to host
         # floats only at logging points / epoch end: a float() per step is
         # a synchronous device round trip, and on a dispatch tunnel that
-        # latency (not compute) dominates the k=1 step loop
+        # latency (not compute) dominates the k=1 step loop.  Each drain
+        # is ONE batched jax.device_get (async copies for every pending
+        # scalar before blocking) folded into running (sum, count) totals,
+        # so neither device-buffer count nor sync cost grows with epoch
+        # length.
         pend_t: list = []
         pend_m: list = []
+        totals = {"t": 0.0, "m": 0.0, "n": 0}
+
+        def drain():
+            if not pend_t:
+                return
+            ts, ms = jax.device_get((pend_t, pend_m))
+            totals["t"] += float(np.sum(np.asarray(ts, np.float64)))
+            totals["m"] += float(np.sum(np.asarray(ms, np.float64)))
+            totals["n"] += len(ts)
+            pend_t.clear()
+            pend_m.clear()
 
         def account(time_loss, mag_loss):
             pend_t.append(time_loss)
             pend_m.append(mag_loss)
-            n = len(pend_t)
+            n = totals["n"] + len(pend_t)
             every = self.cfg.engine.log_every_steps
             if every and n % every == 0:
                 # running-mean postfix, the reference's tqdm equivalent
                 # (engine.py:78-80); forces a sync, but only at the
                 # user-chosen cadence
+                drain()
                 spks = self.cfg.model.num_spks
                 log.info(
                     "epoch %d step %d/%d: T_loss %.4f F_loss %.4f lr %.2e",
                     epoch, n, len(loader),
-                    sum(float(x) for x in pend_t) / n / spks,
-                    sum(float(x) for x in pend_m) / n / spks,
+                    totals["t"] / n / spks,
+                    totals["m"] / n / spks,
                     self.lr_ctl.lr,
                 )
 
@@ -297,11 +313,11 @@ class Engine:
                 flush(group)
                 group = []
         flush(group)
-        n = len(pend_t)
+        drain()
+        n = totals["n"]
         spks = self.cfg.model.num_spks
-        tot_time = sum(float(x) for x in pend_t) / spks
-        tot_mag = sum(float(x) for x in pend_m) / spks
-        return {"time_loss": tot_time / max(1, n), "mag_loss": tot_mag / max(1, n)}
+        return {"time_loss": totals["t"] / spks / max(1, n),
+                "mag_loss": totals["m"] / spks / max(1, n)}
 
     def _validate(self) -> Dict[str, float]:
         loader = self.loaders["valid"]
@@ -314,8 +330,10 @@ class Engine:
             metrics = self.eval_step(self.state, mix, src)
             pend.append((metrics["time_loss"], metrics["mag_loss_mean"]))
         spks = self.cfg.model.num_spks
-        tot_time = sum(float(t) for t, _ in pend) / spks
-        tot_mag = sum(float(m) for _, m in pend) / spks
+        # one batched transfer for the whole pass (vs a sync per scalar)
+        vals = jax.device_get(pend)
+        tot_time = float(np.sum([float(t) for t, _ in vals])) / spks
+        tot_mag = float(np.sum([float(m) for _, m in vals])) / spks
         n = len(pend)
         # valid loaders are host-sharded (build_dataloaders); the plateau
         # LR and best-checkpoint decisions branch on this value, so it must
@@ -380,15 +398,14 @@ class Engine:
             mix = batch.mixture
             if self.cfg.engine.mvn:
                 mix = apply_cmvn(mix, batch.input_sizes)
-            # when no row is padded (batch 1 at an exact bucket, or a
-            # uniform-length bucket) the mask is a no-op — pass None so
-            # long utterances keep the flash-attention path, which takes
-            # no key mask (resolve_attention_impl routes L >= 1024 to it)
-            sizes = np.asarray(batch.input_sizes)
-            lens = (None if np.all(sizes == mix.shape[-1])
-                    else jnp.asarray(sizes, jnp.int32))
+            # true lengths go in unconditionally: the flash-attention and
+            # fused-GCFN kernels consume the mask in-kernel (no dense
+            # fallback), masks are numeric no-ops for unpadded rows, and
+            # a single lens-carrying executable serves every bucket (no
+            # second masked/unmasked compile)
             audio = np.asarray(forward(
-                params, batch_stats, jnp.asarray(mix), lens,
+                params, batch_stats, jnp.asarray(mix),
+                jnp.asarray(np.asarray(batch.input_sizes), jnp.int32),
             ))
             for j in range(batch.batch_size):
                 t = int(batch.input_sizes[j])

@@ -56,15 +56,17 @@ def create_train_state(
 ) -> TrainState:
     """Initialize model + optimizer state.
 
-    Fully jitted: on accelerators behind a dispatch tunnel (axon), eager
+    Jitted on accelerators: behind a dispatch tunnel (axon), eager
     initialization issues thousands of individual device calls; one
-    compiled program avoids that.
+    compiled program avoids that.  On CPU the opposite holds — XLA:CPU
+    compiles the single giant init program pathologically slowly (>2 min
+    for the 4-stage model; this was the round-2 multichip-dryrun timeout)
+    while eager init is a stream of small host ops — so CPU runs eagerly.
     """
     model = SepReformer(cfg.model)
     sample_len = sample_len or cfg.dataset.max_len
     tx = make_optimizer(cfg)
 
-    @jax.jit
     def init(rng):
         x = jnp.zeros((1, sample_len), jnp.float32)
         variables = model.init(rng, x)
@@ -75,10 +77,13 @@ def create_train_state(
             opt_state=tx.init(variables["params"]),
         )
 
-    return init(rng)
+    if jax.default_backend() == "cpu":
+        with jax.disable_jit():
+            return init(rng)
+    return jax.jit(init)(rng)
 
 
-def make_loss_mel_fb(cfg: VariantConfig) -> Optional[jnp.ndarray]:
+def make_loss_mel_fb(cfg: VariantConfig) -> Optional[jax.typing.ArrayLike]:
     """The mel filterbank for the magnitude loss when criterion.mel_opt is
     set (ref criterions.py:133: MelScale(80, 16000, frame_length/2+1));
     None otherwise."""

@@ -113,11 +113,11 @@ def pit_sisnr_time(
 def stft_mag_pairwise_neg(
     est: jnp.ndarray,
     src: jnp.ndarray,
-    stft_kernel: jnp.ndarray,
+    stft_kernel: jax.typing.ArrayLike,  # host np constant or device array
     frame_shift: int,
     scale_inv: bool = True,
     eps: float = 1.0e-12,
-    mel_fb: Optional[jnp.ndarray] = None,
+    mel_fb: Optional[jax.typing.ArrayLike] = None,
 ) -> jnp.ndarray:
     """Negative spectral SDR for every speaker pair (criterions.py:154-171).
 
@@ -168,10 +168,10 @@ def stft_mag_pairwise_neg(
 def pit_sisnr_mag(
     est: jnp.ndarray,
     src: jnp.ndarray,
-    stft_kernel: jnp.ndarray,
+    stft_kernel: jax.typing.ArrayLike,  # host np constant or device array
     frame_shift: int,
     scale_inv: bool = True,
-    mel_fb: Optional[jnp.ndarray] = None,
+    mel_fb: Optional[jax.typing.ArrayLike] = None,
 ) -> jnp.ndarray:
     """uPIT spectral-magnitude aux loss (criterions.py:115-176). Scalar.
     ``mel_fb`` enables the ``mel_opt`` mel-frontend branch."""

@@ -436,10 +436,13 @@ class GCFN(nn.Module):
             pick_train_block(x.shape[1], self.dim * 6) > 0
             if train_dropout else pick_block(x.shape[1]) > 0
         )
+        # masked exact-eval rides the fused kernel (u-row mask in VMEM);
+        # only the train hash-dropout kernel takes no mask (training
+        # always runs fixed-length crops)
         use_fused = (
             self.fused in ("on", "interpret")
             or (self.fused == "auto" and jax.default_backend() == "tpu")
-        ) and block_ok and seq_lens is None
+        ) and block_ok and not (train_dropout and seq_lens is not None)
         if use_fused:
             lns, lnb = norm(return_params=True)
             win, bin_ = proj_in(return_params=True)
@@ -464,7 +467,9 @@ class GCFN(nn.Module):
                     x, params, seed, self.norm_eps, float(self.dropout),
                     interpret,
                 )
-            return fused_gcfn(x, params, self.norm_eps, interpret)
+            mask = (None if seq_lens is None
+                    else length_mask(seq_lens, x.shape[1], jnp.float32))
+            return fused_gcfn(x, params, self.norm_eps, interpret, mask)
         y = norm(x)
         y = proj_in(y)
         if seq_lens is not None:
@@ -549,14 +554,13 @@ class MultiHeadAttention(nn.Module):
         # serving EVAL at bottleneck lengths — it keeps the pe bias
         # in-kernel, so the [L, d, L] pos_kt materialization and its
         # per-consumer relayout copies (~16% of the B=4 forward,
-        # ARCHITECTURE.md profile) never exist.  Opt-in pending an
-        # on-chip measurement (perf_close.py); falls back to the dense
-        # path beyond the kernel's 512-length ceiling or under key masks.
+        # ARCHITECTURE.md profile) never exist.  Key masks (masked
+        # batched eval) ride along in-kernel; falls back to the dense
+        # path beyond the kernel's 512-length ceiling.
         use_single = (
             pos is not None
             and impl in ("single", "single_interpret")
             and (not train or self.dropout == 0.0)
-            and key_lens is None
         )
         if use_single:
             from sepreformer_tpu.ops.pallas.attention_train import (
@@ -573,7 +577,7 @@ class MultiHeadAttention(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), pos.table.astype(x.dtype),
                 jnp.int32(0), pos.maxlen, 0.0,
-                impl == "single_interpret",
+                impl == "single_interpret", key_lens,
             )
             out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
             out = TorchLinear(self.dim, name="out")(out)
@@ -581,12 +585,13 @@ class MultiHeadAttention(nn.Module):
             return LayerScale(self.dim, self.layer_scale_init,
                               name="layer_scale")(out)
         # the inference Pallas kernel has no attention-prob dropout; use it
-        # only for deterministic passes or dropout-free models
+        # only for deterministic passes or dropout-free models.  Key masks
+        # (masked batched eval / padded long utterances) are applied
+        # in-kernel.
         use_flash = (
             pos is not None
             and impl in ("pallas", "pallas_interpret")
             and (not train or self.dropout == 0.0)
-            and key_lens is None  # flash kernel takes no key mask
         )
         if use_flash:
             from sepreformer_tpu.ops.pallas.attention import (
@@ -598,7 +603,7 @@ class MultiHeadAttention(nn.Module):
             vh = v.transpose(0, 2, 1, 3)
             out = flash_relpos_attention(
                 qh, kh, vh, pos.table.astype(x.dtype), pos.maxlen,
-                impl == "pallas_interpret",
+                impl == "pallas_interpret", key_lens,
             )
             out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
         else:

@@ -73,10 +73,10 @@ def pick_block(l: int) -> int:
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, pe_ref,
+    lens_ref, q_ref, k_ref, v_ref, pe_ref,
     out_ref,
     acc_ref, m_ref, l_ref,
-    *, sm_scale: float, length: int, nb: int, block: int,
+    *, sm_scale: float, length: int, nb: int, block: int, h: int,
 ):
     bi = pl.program_id(1)
     bj = pl.program_id(2)
@@ -109,9 +109,13 @@ def _flash_kernel(
     s = s + _barrel_extract(s2, block)
     s = s * sm_scale
 
-    # mask key padding (global j >= length)
+    # mask key padding: block padding (global j >= length) AND the
+    # utterance's true length (j >= lens[b], masked batched eval — the
+    # same key-validity span as the XLA masked path in
+    # MultiHeadAttention; network.py:106-113 is the bias math)
+    limit = jnp.minimum(length, lens_ref[pl.program_id(0) // h, 0])
     col = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1) + bj * block
-    s = jnp.where(col < length, s, NEG_INF)
+    s = jnp.where(col < limit, s, NEG_INF)
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
@@ -150,6 +154,7 @@ def _build_pe_pad(pe_table: jnp.ndarray, lp: int, maxlen: int) -> jnp.ndarray:
 def _flash_relpos_attention_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pe_table: jnp.ndarray,
     maxlen: int, interpret: bool = False, block: Optional[int] = None,
+    lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     b, h, l, d = q.shape
     block = pick_block(l) if block is None else block
@@ -164,14 +169,22 @@ def _flash_relpos_attention_impl(
 
     qp, kp, vp = prep(q), prep(k), prep(v)
     pe_pad = _build_pe_pad(pe_table, lp, maxlen)
+    if lens is None:
+        lens2d = jnp.full((b, 1), l, jnp.int32)
+    else:
+        lens2d = lens.astype(jnp.int32).reshape(b, 1)
 
     kernel = functools.partial(
-        _flash_kernel, sm_scale=sm_scale, length=l, nb=nb, block=block
+        _flash_kernel, sm_scale=sm_scale, length=l, nb=nb, block=block, h=h
     )
     out = pl.pallas_call(
         kernel,
         grid=(b * h, nb, nb),
         in_specs=[
+            # full [B, 1] lens vector in SMEM for every program (block
+            # dims must equal array dims for sub-(8,128) blocks)
+            pl.BlockSpec((b, 1), lambda bh, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block, d), lambda bh, bi, bj: (bh, bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block, d), lambda bh, bi, bj: (bh, bj, 0),
@@ -190,16 +203,18 @@ def _flash_relpos_attention_impl(
             pltpu.VMEM((block, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, pe_pad)
+    )(lens2d, qp, kp, vp, pe_pad)
     return out.reshape(b, h, lp, d)[:, :, :l]
 
 
 def relpos_attention_reference(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pe_table: jnp.ndarray,
-    maxlen: int,
+    maxlen: int, lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """XLA reference: materialized scores + gathered pos table
-    (numerically identical semantics to network.py:106-121)."""
+    (numerically identical semantics to network.py:106-121).  With
+    ``lens`` [B], keys at j >= lens[b] get -inf before the softmax —
+    the masked exact-eval span."""
     b, h, l, d = q.shape
     pos = np.arange(l)
     rel = np.clip(pos[:, None] - pos[None, :], -maxlen, maxlen - 1) + maxlen
@@ -210,31 +225,41 @@ def relpos_attention_reference(
                                  pos_k.astype(q.dtype),
                                  preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(d)
+    if lens is not None:
+        kmask = jnp.arange(l, dtype=jnp.int32)[None] < lens[:, None]
+        scores = jnp.where(kmask[:, None, None, :], scores, NEG_INF)
     attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhij,bhjd->bhid", attn, v,
                       preferred_element_type=q.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_relpos_attention(q, k, v, pe_table, maxlen, interpret=False):
+def flash_relpos_attention(q, k, v, pe_table, maxlen, interpret=False,
+                           lens=None):
     """Fused attention; gradients fall back to the XLA reference
-    (recompute) so the kernel needs no hand-written backward."""
-    return _flash_relpos_attention_impl(q, k, v, pe_table, maxlen, interpret)
+    (recompute) so the kernel needs no hand-written backward.
+    ``lens`` [B] int32 (optional) masks keys beyond each row's true
+    length (masked batched eval / padded long utterances)."""
+    return _flash_relpos_attention_impl(q, k, v, pe_table, maxlen, interpret,
+                                        lens=lens)
 
 
-def _fwd(q, k, v, pe_table, maxlen, interpret):
-    return _flash_relpos_attention_impl(q, k, v, pe_table, maxlen, interpret), (
-        q, k, v, pe_table,
-    )
+def _fwd(q, k, v, pe_table, maxlen, interpret, lens=None):
+    out = _flash_relpos_attention_impl(q, k, v, pe_table, maxlen, interpret,
+                                       lens=lens)
+    return out, (q, k, v, pe_table, lens)
 
 
 def _bwd(maxlen, interpret, residuals, g):
-    q, k, v, pe_table = residuals
+    q, k, v, pe_table, lens = residuals
     _, vjp = jax.vjp(
-        lambda q, k, v, pe: relpos_attention_reference(q, k, v, pe, maxlen),
+        lambda q, k, v, pe: relpos_attention_reference(q, k, v, pe, maxlen,
+                                                       lens),
         q, k, v, pe_table,
     )
-    return vjp(g)
+    lens_ct = (None if lens is None
+               else np.zeros(lens.shape, jax.dtypes.float0))
+    return vjp(g) + (lens_ct,)
 
 
 flash_relpos_attention.defvjp(_fwd, _bwd)

@@ -73,11 +73,13 @@ def _barrel_scatter(band: jnp.ndarray, block: int) -> jnp.ndarray:
     return x
 
 
-def _recompute_probs(q, k, pe, seed, bh, *, sm_scale, length, block, p_drop):
+def _recompute_probs(q, k, pe, seed, bh, *, sm_scale, length, block, p_drop,
+                     limit=None):
     """Shared fwd/bwd softmax + dropout recomputation (all in VMEM).
 
     Returns (P [BL, BL] f32, mask-scaled P for the V dot, keep/(1-p) scale
-    tensor).
+    tensor).  ``limit`` (traced scalar, optional) additionally masks keys
+    at j >= limit — the per-utterance true length of masked batched eval.
     """
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -87,7 +89,8 @@ def _recompute_probs(q, k, pe, seed, bh, *, sm_scale, length, block, p_drop):
     )
     s = (s + _barrel_extract(s2, block)) * sm_scale
     col = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-    s = jnp.where(col < length, s, NEG_INF)
+    eff = length if limit is None else jnp.minimum(length, limit)
+    s = jnp.where(col < eff, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     probs = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
@@ -100,13 +103,14 @@ def _recompute_probs(q, k, pe, seed, bh, *, sm_scale, length, block, p_drop):
     return probs, probs * scale, scale
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pe_ref, out_ref, *,
-                sm_scale, length, block, p_drop):
+def _fwd_kernel(seed_ref, lens_ref, q_ref, k_ref, v_ref, pe_ref, out_ref, *,
+                sm_scale, length, block, p_drop, h):
     bh = pl.program_id(0)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     _, pd, _ = _recompute_probs(
         q, k, pe_ref[:].astype(q.dtype), seed_ref[0, 0], bh,
         sm_scale=sm_scale, length=length, block=block, p_drop=p_drop,
+        limit=lens_ref[bh // h, 0],
     )
     out_ref[0] = jax.lax.dot_general(
         pd.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -114,9 +118,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, pe_ref, out_ref, *,
     ).astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pe_ref, dout_ref,
+def _bwd_kernel(seed_ref, lens_ref, q_ref, k_ref, v_ref, pe_ref, dout_ref,
                 dq_ref, dk_ref, dv_ref, dpe_ref, *,
-                sm_scale, length, block, p_drop):
+                sm_scale, length, block, p_drop, h):
     bh = pl.program_id(0)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     pe = pe_ref[:].astype(q.dtype)
@@ -124,6 +128,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pe_ref, dout_ref,
     probs, pd, scale = _recompute_probs(
         q, k, pe, seed_ref[0, 0], bh,
         sm_scale=sm_scale, length=length, block=block, p_drop=p_drop,
+        limit=lens_ref[bh // h, 0],
     )
     # dV = Pd^T dout
     dv_ref[0] = jax.lax.dot_general(
@@ -167,13 +172,22 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, pe_ref, dout_ref,
         dpe_ref[:] = dpe_ref[:] + dpe
 
 
-def _specs(block, d, lp):
+def _specs(block, d, lp, b):
     seed = pl.BlockSpec((1, 1), lambda bh: (0, 0), memory_space=pltpu.SMEM)
+    # full [B, 1] lens vector in SMEM for every program (block dims must
+    # equal array dims for sub-(8,128) blocks); kernels index bh // h
+    lens = pl.BlockSpec((b, 1), lambda bh: (0, 0), memory_space=pltpu.SMEM)
     per_bh = pl.BlockSpec((1, block, d), lambda bh: (bh, 0, 0),
                           memory_space=pltpu.VMEM)
     pe = pl.BlockSpec((2 * lp, d), lambda bh: (0, 0),
                       memory_space=pltpu.VMEM)
-    return seed, per_bh, pe
+    return seed, lens, per_bh, pe
+
+
+def _lens2d(lens, b, l):
+    if lens is None:
+        return jnp.full((b, 1), l, jnp.int32)
+    return lens.astype(jnp.int32).reshape(b, 1)
 
 
 def _prep(x, b, h, lp, l, d):
@@ -185,42 +199,45 @@ def _prep(x, b, h, lp, l, d):
 @functools.partial(
     jax.jit, static_argnames=("maxlen", "p_drop", "interpret")
 )
-def _fwd_impl(q, k, v, pe_table, seed, maxlen, p_drop, interpret):
+def _fwd_impl(q, k, v, pe_table, seed, maxlen, p_drop, interpret, lens=None):
     b, h, l, d = q.shape
     block = pick_block(l)
     assert block >= l, "train kernel is single-block only (l <= 512)"
     lp = block
     qp, kp, vp = (_prep(x, b, h, lp, l, d) for x in (q, k, v))
     pe_pad = _build_pe_pad(pe_table, lp, maxlen)
-    seed_spec, per_bh, pe_spec = _specs(block, d, lp)
+    seed_spec, lens_spec, per_bh, pe_spec = _specs(block, d, lp, b)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=1.0 / math.sqrt(d),
-                          length=l, block=block, p_drop=p_drop),
+                          length=l, block=block, p_drop=p_drop, h=h),
         grid=(b * h,),
-        in_specs=[seed_spec, per_bh, per_bh, per_bh, pe_spec],
+        in_specs=[seed_spec, lens_spec, per_bh, per_bh, per_bh, pe_spec],
         out_specs=per_bh,
         out_shape=jax.ShapeDtypeStruct((b * h, lp, d), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), qp, kp, vp, pe_pad)
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), _lens2d(lens, b, l),
+      qp, kp, vp, pe_pad)
     return out.reshape(b, h, lp, d)[:, :, :l]
 
 
 @functools.partial(
     jax.jit, static_argnames=("maxlen", "p_drop", "interpret")
 )
-def _bwd_impl(q, k, v, pe_table, seed, dout, maxlen, p_drop, interpret):
+def _bwd_impl(q, k, v, pe_table, seed, dout, maxlen, p_drop, interpret,
+              lens=None):
     b, h, l, d = q.shape
     block = pick_block(l)
     lp = block
     qp, kp, vp = (_prep(x, b, h, lp, l, d) for x in (q, k, v))
     dp_ = _prep(dout.astype(q.dtype), b, h, lp, l, d)
     pe_pad = _build_pe_pad(pe_table, lp, maxlen)
-    seed_spec, per_bh, pe_spec = _specs(block, d, lp)
+    seed_spec, lens_spec, per_bh, pe_spec = _specs(block, d, lp, b)
     dq, dk, dv, dpe_pad = pl.pallas_call(
         functools.partial(_bwd_kernel, sm_scale=1.0 / math.sqrt(d),
-                          length=l, block=block, p_drop=p_drop),
+                          length=l, block=block, p_drop=p_drop, h=h),
         grid=(b * h,),
-        in_specs=[seed_spec, per_bh, per_bh, per_bh, pe_spec, per_bh],
+        in_specs=[seed_spec, lens_spec, per_bh, per_bh, per_bh, pe_spec,
+                  per_bh],
         out_specs=[per_bh, per_bh, per_bh,
                    pl.BlockSpec((2 * lp, d), lambda bh: (0, 0),
                                 memory_space=pltpu.VMEM)],
@@ -231,7 +248,8 @@ def _bwd_impl(q, k, v, pe_table, seed, dout, maxlen, p_drop, interpret):
             jax.ShapeDtypeStruct((2 * lp, d), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), qp, kp, vp, pe_pad, dp_)
+    )(jnp.asarray(seed, jnp.int32).reshape(1, 1), _lens2d(lens, b, l),
+      qp, kp, vp, pe_pad, dp_)
 
     def unprep(x):
         return x.reshape(b, h, lp, d)[:, :, :l]
@@ -247,7 +265,8 @@ def _bwd_impl(q, k, v, pe_table, seed, dout, maxlen, p_drop, interpret):
             dtable.astype(pe_table.dtype))
 
 
-def attention_train_reference(q, k, v, pe_table, maxlen, seed, p_drop):
+def attention_train_reference(q, k, v, pe_table, maxlen, seed, p_drop,
+                              lens=None):
     """Pure-jnp reference with the identical hash dropout (padded to the
     kernel's block size so the mask indices line up exactly)."""
     b, h, l, d = q.shape
@@ -265,7 +284,10 @@ def attention_train_reference(q, k, v, pe_table, maxlen, seed, p_drop):
                        preferred_element_type=jnp.float32)
     s = s / math.sqrt(d)
     col = np.arange(lp)[None, None, None, :]
-    s = jnp.where(np.asarray(col < l), s, NEG_INF)
+    kmask = (jnp.asarray(col) < l if lens is None
+             else jnp.asarray(col) < jnp.minimum(
+                 l, lens.astype(jnp.int32)).reshape(b, 1, 1, 1))
+    s = jnp.where(kmask, s, NEG_INF)
     probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
     if p_drop > 0.0:
         bh = jnp.arange(b * h, dtype=jnp.int32).reshape(b, h, 1, 1)
@@ -280,22 +302,29 @@ def attention_train_reference(q, k, v, pe_table, maxlen, seed, p_drop):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_relpos_attention_train(q, k, v, pe_table, seed,
                                  maxlen: int, p_drop: float,
-                                 interpret: bool = False):
+                                 interpret: bool = False, lens=None):
     """Training attention: fused forward with hash dropout + fused
-    backward (dq, dk, dv, d pe_table)."""
-    return _fwd_impl(q, k, v, pe_table, seed, maxlen, p_drop, interpret)
+    backward (dq, dk, dv, d pe_table).  ``lens`` [B] int32 (optional)
+    masks keys beyond each row's true length — used when this kernel's
+    dropout-free forward serves masked batched eval
+    (attention_impl="single")."""
+    return _fwd_impl(q, k, v, pe_table, seed, maxlen, p_drop, interpret,
+                     lens=lens)
 
 
-def _vjp_fwd(q, k, v, pe_table, seed, maxlen, p_drop, interpret):
-    out = _fwd_impl(q, k, v, pe_table, seed, maxlen, p_drop, interpret)
-    return out, (q, k, v, pe_table, seed)
+def _vjp_fwd(q, k, v, pe_table, seed, maxlen, p_drop, interpret, lens=None):
+    out = _fwd_impl(q, k, v, pe_table, seed, maxlen, p_drop, interpret,
+                    lens=lens)
+    return out, (q, k, v, pe_table, seed, lens)
 
 
 def _vjp_bwd(maxlen, p_drop, interpret, res, g):
-    q, k, v, pe_table, seed = res
+    q, k, v, pe_table, seed, lens = res
     dq, dk, dv, dpe = _bwd_impl(q, k, v, pe_table, seed, g, maxlen,
-                                p_drop, interpret)
-    return dq, dk, dv, dpe, None
+                                p_drop, interpret, lens=lens)
+    lens_ct = (None if lens is None
+               else np.zeros(lens.shape, jax.dtypes.float0))
+    return dq, dk, dv, dpe, None, lens_ct
 
 
 flash_relpos_attention_train.defvjp(_vjp_fwd, _vjp_bwd)

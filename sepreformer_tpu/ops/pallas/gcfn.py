@@ -56,10 +56,30 @@ def pick_block(t: int) -> int:
     return 0
 
 
+def _gcfn_kernel_masked(
+    x_ref, xb_ref, mask_ref, maskb_ref, lns_ref, lnb_ref, win_ref, bin_ref,
+    wdw_ref, bdw_ref, wout_ref, bout_ref, ls_ref, out_ref, *, eps: float,
+    hidden: int, bt: int, nt: int,
+):
+    _gcfn_core(x_ref, xb_ref, mask_ref, maskb_ref, lns_ref, lnb_ref,
+               win_ref, bin_ref, wdw_ref, bdw_ref, wout_ref, bout_ref,
+               ls_ref, out_ref, eps=eps, hidden=hidden, bt=bt, nt=nt)
+
+
 def _gcfn_kernel(
-    x_ref, xb_ref, lns_ref, lnb_ref, win_ref, bin_ref, wdw_ref, bdw_ref,
-    wout_ref, bout_ref, ls_ref, out_ref, *, eps: float, hidden: int,
-    bt: int, nt: int,
+    x_ref, xb_ref, lns_ref, lnb_ref, win_ref, bin_ref,
+    wdw_ref, bdw_ref, wout_ref, bout_ref, ls_ref, out_ref, *, eps: float,
+    hidden: int, bt: int, nt: int,
+):
+    _gcfn_core(x_ref, xb_ref, None, None, lns_ref, lnb_ref,
+               win_ref, bin_ref, wdw_ref, bdw_ref, wout_ref, bout_ref,
+               ls_ref, out_ref, eps=eps, hidden=hidden, bt=bt, nt=nt)
+
+
+def _gcfn_core(
+    x_ref, xb_ref, mask_ref, maskb_ref, lns_ref, lnb_ref, win_ref, bin_ref,
+    wdw_ref, bdw_ref, wout_ref, bout_ref, ls_ref, out_ref, *, eps: float,
+    hidden: int, bt: int, nt: int,
 ):
     bi = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)            # [BT, F]
@@ -75,10 +95,19 @@ def _gcfn_kernel(
     u = jnp.dot(xn.astype(win_ref.dtype), win_ref[:],
                 preferred_element_type=jnp.float32)
     u = u + bin_ref[0]
-    u_main = u[:bt]
+    # masked exact-eval (mask_ref not None): u-rows beyond each row's true
+    # length are zeroed so the k3 conv at the last valid frame reads a
+    # zero — exactly the XLA masked path's post-proj_in mask (GCFN in
+    # models/blocks.py).  The unmasked variant compiles without the mask
+    # inputs, keeping the hot eval path byte-identical.
+    u_main = u[:bt] if mask_ref is None else u[:bt] * mask_ref[0]
     # sequence-edge boundaries contribute zeros (torch zero-pads u-space)
     not_first = (bi > 0).astype(jnp.float32)
     not_last = (bi < nt - 1).astype(jnp.float32)
+    if mask_ref is not None:
+        maskb = maskb_ref[0, 0]                 # [2, 1]
+        not_first = not_first * maskb[0:1]
+        not_last = not_last * maskb[1:2]
     u_prev = jnp.concatenate([u[bt:bt + 1] * not_first, u_main[:-1]], axis=0)
     u_next = jnp.concatenate([u_main[1:], u[bt + 1:bt + 2] * not_last], axis=0)
     w0 = wdw_ref[0]
@@ -93,14 +122,18 @@ def _gcfn_kernel(
     out_ref[0] = (x + ls_ref[0] * out).astype(out_ref.dtype)
 
 
-def gcfn_reference(x, params, eps: float):
-    """XLA reference with identical math (used for tests and the vjp)."""
+def gcfn_reference(x, params, eps: float, mask=None):
+    """XLA reference with identical math (used for tests and the vjp).
+    ``mask`` [B, T, 1] 0/1 zeroes u-rows beyond each row's true length
+    (masked exact-eval; see GCFN in models/blocks.py)."""
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     mean = jnp.mean(x, axis=-1, keepdims=True)
     c = x - mean
     var = jnp.mean(c * c, axis=-1, keepdims=True)
     xn = c * jax.lax.rsqrt(var + eps) * lns + lnb
     u = jnp.einsum("btf,fh->bth", xn, win) + bin_
+    if mask is not None:
+        u = u * mask
     up = jnp.pad(u, ((0, 0), (1, 1), (0, 0)))
     t = x.shape[1]
     y = (up[:, :t] * wdw[0] + up[:, 1:t + 1] * wdw[1]
@@ -111,13 +144,14 @@ def gcfn_reference(x, params, eps: float):
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False):
+def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
+                     mask=None):
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
     bt = pick_block(t)
     if bt == 0:
-        return gcfn_reference(x, params, eps)
+        return gcfn_reference(x, params, eps, mask)
     nt = t // bt
     mm = matmul_dtype(x.dtype)
     win = win.astype(mm)
@@ -136,50 +170,74 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False):
     def row2d(a):
         return a.reshape(1, -1)
 
-    kernel = functools.partial(
-        _gcfn_kernel, eps=eps, hidden=hidden, bt=bt, nt=nt
-    )
     full = lambda shape: pl.BlockSpec(shape, lambda bb, ii: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, bt, f), lambda bb, ii: (bb, ii, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 2, f), lambda bb, ii: (bb, ii, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, xb]
+    if mask is not None:
+        # per-row u-mask [B, T, 1] + its block-halo rows [B, nT, 2, 1]
+        mask = mask.astype(jnp.float32)
+        mp = jnp.pad(mask, ((0, 0), (1, 1), (0, 0)))
+        maskb = jnp.stack(
+            [jnp.take(mp, np.asarray(idx_prev), axis=1),
+             jnp.take(mp, np.asarray(idx_next), axis=1)],
+            axis=2,
+        )
+        in_specs += [
+            pl.BlockSpec((1, bt, 1), lambda bb, ii: (bb, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, 1), lambda bb, ii: (bb, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [mask, maskb]
+    in_specs += [
+        full((1, f)), full((1, f)),
+        full((f, hidden)), full((1, hidden)),
+        full((3, hidden)), full((1, hidden)),
+        full((hidden // 2, f)), full((1, f)),
+        full((1, f)),
+    ]
+    operands += [row2d(lns), row2d(lnb), win, row2d(bin_), wdw, row2d(bdw),
+                 wout, row2d(bout), row2d(ls)]
+    kernel = functools.partial(
+        _gcfn_kernel if mask is None else _gcfn_kernel_masked,
+        eps=eps, hidden=hidden, bt=bt, nt=nt,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, bt, f), lambda bb, ii: (bb, ii, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, f), lambda bb, ii: (bb, ii, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full((1, f)), full((1, f)),
-            full((f, hidden)), full((1, hidden)),
-            full((3, hidden)), full((1, hidden)),
-            full((hidden // 2, f)), full((1, f)),
-            full((1, f)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bt, f), lambda bb, ii: (bb, ii, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, f), x.dtype),
         interpret=interpret,
-    )(
-        x, xb, row2d(lns), row2d(lnb), win, row2d(bin_), wdw, row2d(bdw),
-        wout, row2d(bout), row2d(ls),
-    )
+    )(*operands)
     return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_gcfn(x, params, eps: float, interpret: bool = False):
-    """Fused GCFN with XLA-reference gradients (recompute)."""
-    return _fused_gcfn_impl(x, params, eps, interpret)
+def fused_gcfn(x, params, eps: float, interpret: bool = False, mask=None):
+    """Fused GCFN with XLA-reference gradients (recompute).  ``mask``
+    [B, T, 1] 0/1 (optional) zeroes post-proj_in rows beyond each row's
+    true length — masked exact-eval."""
+    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask)
 
 
-def _fwd(x, params, eps, interpret):
-    return _fused_gcfn_impl(x, params, eps, interpret), (x, params)
+def _fwd(x, params, eps, interpret, mask=None):
+    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask), (
+        x, params, mask)
 
 
 def _bwd(eps, interpret, res, g):
-    x, params = res
-    _, vjp = jax.vjp(lambda x, p: gcfn_reference(x, p, eps), x, params)
-    return vjp(g)
+    x, params, mask = res
+    _, vjp = jax.vjp(lambda x, p: gcfn_reference(x, p, eps, mask), x, params)
+    mask_ct = None if mask is None else jnp.zeros_like(mask)
+    return vjp(g) + (mask_ct,)
 
 
 fused_gcfn.defvjp(_fwd, _bwd)
