@@ -24,6 +24,12 @@ if __name__ == "__main__":
         "--model", "SepReformer_Base_WSJ0",
         "--engine-mode", "train",
         "--scp-dir", "data_synth/scp",
+        # measured train operating point (PERF_CLOSE.json r3): B=4 is the
+        # per-chip throughput knee (150.6 ms, 106.2 audio-s/s) vs B=8
+        # (314.7 ms, 101.7) — batch 8 is kept anyway for convergence
+        # comparability with the round-1 T run (same optimizer schedule
+        # per-step); the 4% throughput delta is noise against
+        # epoch-count effects
         "--batch-size", "8",
         # Engine.run iterates range(start, max_epoch) exclusive (matching
         # the reference loop); 121 runs epochs 1..120 incl. the inline
