@@ -43,6 +43,24 @@ def matmul_dtype(x_dtype) -> jnp.dtype:
     return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
 
 
+def resolve_mxu(mxu: str, x_dtype, interpret: bool) -> jnp.dtype:
+    """In-kernel MXU operand dtype for f32 streams.
+
+    "bf16" = bf16 operands with f32 accumulation — exactly XLA's DEFAULT
+    precision for f32 dots on this part (operands rounded to bf16, one
+    MXU pass), so the kernel would match the numerics of every
+    surrounding XLA matmul.  "auto" currently resolves to f32 pending
+    the on-chip A/B (measure_gcfn_mxu.py → MEASURE_GCFN_MXU.json);
+    interpret mode (CPU tests) always keeps f32 so interpreter
+    equivalence checks stay exact.
+    """
+    if interpret:
+        return matmul_dtype(x_dtype)
+    if mxu == "bf16":
+        return jnp.bfloat16
+    return matmul_dtype(x_dtype)
+
+
 def pick_block(t: int) -> int:
     """Time-block size: t itself when it fits (Mosaic allows full-dim
     blocks of any size), else the largest divisor of t in
@@ -143,9 +161,9 @@ def gcfn_reference(x, params, eps: float, mask=None):
     return x + ls * (jnp.einsum("bth,hf->btf", g, wout) + bout)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "mxu"))
 def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
-                     mask=None):
+                     mask=None, mxu: str = "auto"):
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
@@ -153,7 +171,9 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
     if bt == 0:
         return gcfn_reference(x, params, eps, mask)
     nt = t // bt
-    mm = matmul_dtype(x.dtype)
+    # the kernel's dots run in the weights' dtype (xn/g are cast to match
+    # in-kernel), f32 accumulation either way — see resolve_mxu
+    mm = resolve_mxu(mxu, x.dtype, interpret)
     win = win.astype(mm)
     wout = wout.astype(mm)
 
@@ -220,20 +240,22 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_gcfn(x, params, eps: float, interpret: bool = False, mask=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 5))
+def fused_gcfn(x, params, eps: float, interpret: bool = False, mask=None,
+               mxu: str = "auto"):
     """Fused GCFN with XLA-reference gradients (recompute).  ``mask``
     [B, T, 1] 0/1 (optional) zeroes post-proj_in rows beyond each row's
-    true length — masked exact-eval."""
-    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask)
+    true length — masked exact-eval.  ``mxu`` selects the in-kernel MXU
+    operand dtype for f32 streams (resolve_mxu)."""
+    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask, mxu=mxu)
 
 
-def _fwd(x, params, eps, interpret, mask=None):
-    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask), (
+def _fwd(x, params, eps, interpret, mask=None, mxu="auto"):
+    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask, mxu=mxu), (
         x, params, mask)
 
 
-def _bwd(eps, interpret, res, g):
+def _bwd(eps, interpret, mxu, res, g):
     x, params, mask = res
     _, vjp = jax.vjp(lambda x, p: gcfn_reference(x, p, eps, mask), x, params)
     mask_ct = None if mask is None else jnp.zeros_like(mask)

@@ -247,9 +247,14 @@ def test_periodic_checkpoint_and_step_logging(corpus, tmp_path, caplog):
 
 def test_steps_per_dispatch_matches_single_dispatch(corpus, tmp_path):
     """engine.steps_per_dispatch=2 (grouped lax.scan dispatch) must
-    reproduce the per-step dispatch training exactly INCLUDING dropout:
-    the grouped scan consumes the same per-step rng keys the single-step
-    path draws (identical math, different dispatch granularity)."""
+    reproduce the per-step dispatch training INCLUDING dropout: the
+    grouped scan consumes the same per-step rng keys the single-step
+    path draws, so each step's MATH is identical.  Bitwise equality
+    holds per step but not end-to-end: the scan body compiles with
+    different fusions than the lone step, and the resulting fp
+    reassociation drift compounds through the trained params — hence
+    exact (1e-6) train-loss equality per epoch and rtol 1e-4 on the
+    valid loss computed from the drifted weights."""
     from dataclasses import replace
 
     def run(k, sub):
