@@ -92,12 +92,14 @@ class Separator:
         x = np.zeros((1, padded), np.float32)
         x[0, :t] = wav
         # masked exact-eval: bucket padding must be invisible (same
-        # guarantee Engine._test gives); skip the mask when no padding
-        # exists so full-length calls keep the fastest attention path
-        lens = None if padded == t else jnp.asarray([t], jnp.int32)
+        # guarantee Engine._test gives).  True length goes in
+        # unconditionally — the Pallas kernels consume the mask in-kernel
+        # (round 3), masks are numeric no-ops for exact-fit calls, and
+        # one lens-carrying executable serves every call at this bucket
+        # (no second masked/unmasked compile)
         audio = np.asarray(
             self._forward(self.params, self.batch_stats, jnp.asarray(x),
-                          lens)
+                          jnp.asarray([t], jnp.int32))
         )[:, 0, :t]
         return [audio[i] for i in range(audio.shape[0])]
 
