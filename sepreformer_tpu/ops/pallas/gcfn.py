@@ -46,13 +46,17 @@ def matmul_dtype(x_dtype) -> jnp.dtype:
 def resolve_mxu(mxu: str, x_dtype, interpret: bool) -> jnp.dtype:
     """In-kernel MXU operand dtype for f32 streams.
 
-    "bf16" = bf16 operands with f32 accumulation — exactly XLA's DEFAULT
-    precision for f32 dots on this part (operands rounded to bf16, one
-    MXU pass), so the kernel would match the numerics of every
-    surrounding XLA matmul.  "auto" currently resolves to f32 pending
-    the on-chip A/B (measure_gcfn_mxu.py → MEASURE_GCFN_MXU.json);
-    interpret mode (CPU tests) always keeps f32 so interpreter
-    equivalence checks stay exact.
+    "auto" resolves to f32 — MEASURED (measure_gcfn_mxu.py →
+    MEASURE_GCFN_MXU.json, v5e): bf16 operands are bit-identical to the
+    f32 dots (max_rel_diff 0.0 — Mosaic already rounds f32 MXU operands
+    to bf16 on this part, same as XLA's default dot precision) and only
+    2.5% faster standalone (690.0 vs 707.7 us at [4, 8000, 128]→768),
+    which the full-model forward does not see (23.69 vs 23.57 ms — the
+    pre-cast overhead eats it).  The kernel's 19%-MXU ceiling is the
+    serialized VPU stages (LN/GLU/dw3) between the two dots, not dot
+    throughput.  "bf16" keeps forcing the explicit cast for re-testing
+    on other parts; interpret mode (CPU tests) always keeps f32 so
+    interpreter equivalence checks stay exact.
     """
     if interpret:
         return matmul_dtype(x_dtype)
