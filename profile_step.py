@@ -20,7 +20,8 @@ import time
 
 
 def capture(mode: str, variant_name: str, batch: int, seconds: float,
-            logdir: str, dtype: str | None, impl: str | None) -> None:
+            logdir: str, dtype: str | None, impl: str | None,
+            materializer: str | None = None) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,13 +36,15 @@ def capture(mode: str, variant_name: str, batch: int, seconds: float,
     from sepreformer_tpu.models import SepReformer
 
     variant = get_variant(variant_name)
-    if dtype or impl:
+    if dtype or impl or materializer:
         variant = dataclasses.replace(
             variant,
             model=dataclasses.replace(
                 variant.model,
                 **({"compute_dtype": dtype} if dtype else {}),
                 **({"attention_impl": impl} if impl else {}),
+                **({"relpos_materializer": materializer}
+                   if materializer else {}),
             ),
         )
     sr = variant.dataset.sampling_rate
@@ -129,6 +132,7 @@ def main() -> None:
     p.add_argument("--seconds", type=float, default=4.0)
     p.add_argument("--dtype", default=None)
     p.add_argument("--impl", default=None)
+    p.add_argument("--materializer", default=None)
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--logdir", default=None)
     args = p.parse_args()
@@ -136,7 +140,7 @@ def main() -> None:
     logdir = args.logdir or tempfile.mkdtemp(prefix=f"prof_{args.mode}_")
     t0 = time.time()
     capture(args.mode, args.variant, args.batch, args.seconds, logdir,
-            args.dtype, args.impl)
+            args.dtype, args.impl, args.materializer)
     print(f"captured in {time.time()-t0:.1f}s -> {logdir}")
     summarize(logdir, args.top)
 

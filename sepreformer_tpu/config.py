@@ -45,11 +45,14 @@ class ModelConfig:
     group_norm_eps: float = 1.0e-8  # GroupNorm eps (module.py:29,124)
     # global-attention implementation: "auto" (Pallas flash kernel on TPU
     # for deterministic passes, XLA elsewhere), "xla", "pallas",
-    # "pallas_interpret" (testing), or "single"/"single_interpret" (the
+    # "pallas_interpret" (testing), "single"/"single_interpret" (the
     # single-block train kernel's forward at dropout 0 serving eval at
     # lengths <= 512 — keeps the pe bias in VMEM so the [L, d, L] pos_kt
-    # relayout copies never materialize; opt-in pending on-chip
-    # measurement, see perf_close.py)
+    # relayout copies never materialize; measured SLOWER than XLA at the
+    # B=4 knee, PERF_CLOSE.json), or "fused_pv"/"fused_pv_interpret"
+    # (XLA scores + Pallas masked-softmax·V, ops/pallas/softmax_pv —
+    # the probs tensor and its layout copies never materialize; "auto"
+    # adopts it per MEASURE_ATTENTION_PV.json)
     attention_impl: str = "auto"
     # TRAIN-time global-attention implementation: "auto" (Pallas train
     # kernel — fused fwd with hash attention-prob dropout + handwritten
@@ -94,6 +97,20 @@ class ModelConfig:
     # bias dots (profiling showed a ~190 us relayout copy per consumer on
     # v5e).  "auto" resolves per measurement below; "on"/"off" force it.
     relpos_barrier: str = "auto"
+    # how the shared [L, d, L] pos_kt is materialized for the XLA
+    # attention path: "pallas" (layout-pinned Pallas generator,
+    # ops/pallas/relpos — targets the per-consumer relayout copies that
+    # were ~16% of the B=4 forward on v5e), "gather" (XLA gather, the
+    # old path), "pallas_interpret" (testing).  "auto" resolves per
+    # MEASURE_RELPOS.json (measure_relpos.py).
+    relpos_materializer: str = "auto"
+    # storage dtype of the materialized scores tensor on the "fused_pv"
+    # attention path: "bfloat16" halves the scores write+read HBM
+    # traffic (the path's dominant cost; the Pallas kernel upcasts and
+    # runs the softmax in f32, so XLA's bf16-softmax layout pathology —
+    # see relpos_store_dtype — cannot occur).  "auto" resolves per
+    # MEASURE_ATTENTION_PV.json; "float32" forces full precision.
+    scores_dtype: str = "auto"
 
     @property
     def head_dim(self) -> int:

@@ -98,6 +98,7 @@ class Engine:
                     fused_ffn="off", fused_local="off", fused_pair="off",
                     fused_depthwise="off",
                     attention_impl="xla", attention_train_impl="xla",
+                    relpos_materializer="gather",
                 ),
             )
         self.cfg = cfg

@@ -48,6 +48,7 @@ class RelPos(NamedTuple):
     impl: str = "auto"
     pos_kt: Optional[jnp.ndarray] = None
     train_impl: str = "auto"
+    scores_dtype: str = "auto"
 
 
 def rel_table(table: jnp.ndarray, t: int, maxlen: int) -> jnp.ndarray:
@@ -104,6 +105,25 @@ def dot_operand(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def resolve_scores_dtype(setting: str) -> jnp.dtype:
+    """Storage dtype of the fused_pv scores tensor (config.scores_dtype).
+
+    "auto" = bf16 on TPU — MEASURED (MEASURE_ATTENTION_PV.json, v5e):
+    21.7 vs 22.88 ms full-model B=4 forward, with the waveform diff
+    vs the all-f32 XLA path UNCHANGED by the bf16 rounding (the scores
+    come from bf16-precision MXU dots on this part either way).  The
+    kernel upcasts to f32 for the softmax regardless; the dtype only
+    changes what the scores producer writes to HBM and the kernel DMAs
+    back (the path's dominant cost).  f32 elsewhere (CPU tests compare
+    exactly against the f32 reference).
+    """
+    if setting == "bfloat16":
+        return jnp.bfloat16
+    if setting == "auto" and jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def relpos_store_dtype(setting: str) -> jnp.dtype:
     """Storage dtype for the materialized rel-pos bias path.
 
@@ -139,13 +159,14 @@ def resolve_attention_train_impl(impl: str, length: int = 0) -> str:
 
 
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
-    """'auto': XLA wins at train-time bottleneck lengths (L~500, measured
-    65 vs 83 ms full-model fwd on v5e — see perf_lab.py); the flash kernel
-    wins once the [B,H,L,L] score tensor gets large (long-utterance eval),
-    so switch on length."""
+    """'auto' on TPU: "fused_pv" (XLA scores + Pallas masked-softmax·V,
+    MEASURED on v5e: full-model Base B=4 forward 23.21 → 21.7 ms with
+    bf16 scores, MEASURE_ATTENTION_PV.json) until the [B,H,L,L] scores
+    tensor gets long-utterance large, then the flash kernel (no L²
+    HBM tensors at all); "xla" elsewhere."""
     if impl == "auto":
-        if jax.default_backend() == "tpu" and length >= 1024:
-            return "pallas"
+        if jax.default_backend() == "tpu":
+            return "pallas" if length >= 1024 else "fused_pv"
         return "xla"
     return impl
 
@@ -607,6 +628,59 @@ class MultiHeadAttention(nn.Module):
             )
             out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
         else:
+            # "fused_pv": XLA scores (its QKᵀ/bias dots run near the
+            # bandwidth floor) + one Pallas pass for key-mask → softmax
+            # → ·V (ops/pallas/softmax_pv) — the probs tensor and its
+            # [L, L, H, B] layout copies never materialize, and V and
+            # the output keep the model's native [B, T, F] layout.
+            # q/k/v are padded to a 128-aligned length so the scores
+            # tensor is DMA-tileable (padded keys masked in-kernel,
+            # padded query rows sliced off).
+            use_fused_pv = (
+                impl in ("fused_pv", "fused_pv_interpret")
+                and (not train or self.dropout == 0.0)
+            )
+            if use_fused_pv and pos is not None:
+                lp = ((t + 127) // 128) * 128
+                qp, kp, vp = (
+                    (jnp.pad(a, ((0, 0), (0, lp - t), (0, 0), (0, 0)))
+                     if lp != t else a)
+                    for a in (q, k, v)
+                )
+                scores = jnp.einsum(
+                    "bihd,bjhd->bhij", dot_operand(qp), dot_operand(kp),
+                    preferred_element_type=jnp.float32,
+                )
+                if pos.pos_kt is not None and pos.pos_kt.shape[0] == lp:
+                    pos_kt = pos.pos_kt
+                else:
+                    pos_kt = gather_pos_kt(pos.table, lp, pos.maxlen)
+                    if pos.pos_kt is not None:
+                        pos_kt = pos_kt.astype(pos.pos_kt.dtype)
+                scores = scores + jnp.einsum(
+                    "bihd,idj->bhij",
+                    dot_operand(qp.astype(pos_kt.dtype)),
+                    dot_operand(pos_kt),
+                    preferred_element_type=jnp.float32,
+                ).astype(scores.dtype)
+                scores = scores / math.sqrt(d)
+                # bf16 scores halve the tensor's HBM write+read (the
+                # path's dominant cost); the kernel's softmax is f32
+                # regardless (resolve_scores_dtype)
+                scores = scores.astype(
+                    resolve_scores_dtype(pos.scores_dtype))
+                from sepreformer_tpu.ops.pallas.softmax_pv import (
+                    softmax_pv,
+                )
+
+                out = softmax_pv(
+                    scores, vp.reshape(b, lp, self.dim), key_lens, t,
+                    impl == "fused_pv_interpret",
+                )[:, :t]
+                out = TorchLinear(self.dim, name="out")(out)
+                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+                return LayerScale(self.dim, self.layer_scale_init,
+                                  name="layer_scale")(out)
             scores = jnp.einsum(
                 "bihd,bjhd->bhij", dot_operand(q), dot_operand(k),
                 preferred_element_type=jnp.float32,

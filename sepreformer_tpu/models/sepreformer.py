@@ -130,11 +130,30 @@ class RelativePositionalEncoding(nn.Module):
         )
 
         pos_kt = None
+        resolved = resolve_attention_impl(cfg.attention_impl, length)
         if (length > 0
-                and resolve_attention_impl(cfg.attention_impl, length) == "xla"):
-            pos_kt = gather_pos_kt(table, length, cfg.pos_maxlen).astype(
-                relpos_store_dtype(cfg.relpos_dtype)
+                and resolved in ("xla", "fused_pv", "fused_pv_interpret")):
+            from sepreformer_tpu.ops.pallas.relpos import (
+                materialize_pos_kt,
+                resolve_relpos_materializer,
             )
+
+            # fused_pv pads attention to a 128-aligned length (DMA
+            # tiling); share the pos_kt at that padded length
+            mat_len = (((length + 127) // 128) * 128
+                       if resolved.startswith("fused_pv") else length)
+            mat = resolve_relpos_materializer(cfg.relpos_materializer)
+            if mat in ("pallas", "pallas_interpret"):
+                # layout-pinned Pallas generator: kills the per-consumer
+                # relayout copies of the gather's d-minor layout
+                # (ops/pallas/relpos.py, ARCHITECTURE.md profile)
+                pos_kt = materialize_pos_kt(
+                    table, mat_len, cfg.pos_maxlen,
+                    mat == "pallas_interpret",
+                )
+            else:
+                pos_kt = gather_pos_kt(table, mat_len, cfg.pos_maxlen)
+            pos_kt = pos_kt.astype(relpos_store_dtype(cfg.relpos_dtype))
             if cfg.relpos_barrier == "on":
                 # freeze the materialization: without the barrier XLA
                 # re-fuses the gather into every consuming bias dot and
@@ -146,6 +165,7 @@ class RelativePositionalEncoding(nn.Module):
             table=table, length=length, maxlen=cfg.pos_maxlen,
             impl=cfg.attention_impl, pos_kt=pos_kt,
             train_impl=cfg.attention_train_impl,
+            scores_dtype=cfg.scores_dtype,
         )
 
 

@@ -1,0 +1,166 @@
+"""Fused masked-softmax·V eval kernel (the cheap half of flash attention).
+
+Profiling the B=4 eval forward (v5e, round 4) showed the XLA attention
+path is HBM-bound on its L² tensors: the scores tensor is written, read
+by the softmax fusion, the probs tensor written, then read again by the
+PV dot — plus a [L, L, H, B] layout copy per block (~113 us) between the
+bias dot and the softmax fusion.  The *math* (QKᵀ dot, rel-pos bias dot,
+softmax arithmetic) is near its bandwidth floor; the waste is traffic.
+
+The earlier full in-VMEM attention kernel ("single", attention_train.py)
+eliminates all L² traffic but pays a barrel-shift band extraction per
+(batch, head) — measured to cost more than the traffic it saves at the
+bottleneck length (PERF_CLOSE.json).  This kernel splits the difference:
+
+- XLA computes scores = (QKᵀ + Q·pos_kt) / sqrt(d) — two MXU dots it
+  already executes near speed-of-light, with the rel-pos bias coming
+  from the layout-pinned Pallas pos_kt (ops/pallas/relpos.py);
+- the kernel consumes scores ONCE from HBM (per-head DMA, double
+  buffered) and does key-mask → softmax → ·V entirely in VMEM, writing
+  the [B, L, F] output directly in the model's native channels-last
+  layout (V enters native too — no head split/merge transposes, no d=16
+  lane tiling anywhere: heads are statically unrolled so V/output use
+  static lane slices of the 128-wide feature axis).
+
+HBM traffic per block drops from ~4 L² traversals (scores w/r + probs
+w/r) to 2 (scores w + r); the probs tensor and its layout copies never
+exist.  Full-row softmax runs in f32 (reference semantics:
+modules/network.py:114-121).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e30
+
+
+def _kernel(lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
+            *, length: int, lp: int, heads: int):
+    b = pl.program_id(0)
+    limit = jnp.minimum(length, lens_ref[b, 0])
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    kmask = col < limit
+    d = v_ref.shape[-1] // heads
+
+    def get_dma(slot, hh):
+        return pltpu.make_async_copy(
+            s_hbm.at[b, hh], scratch.at[slot], sems.at[slot]
+        )
+
+    get_dma(0, 0).start()
+    for hh in range(heads):
+        slot = hh % 2
+        if hh + 1 < heads:
+            get_dma((hh + 1) % 2, hh + 1).start()
+        get_dma(slot, hh).wait()
+        s = scratch[slot].astype(jnp.float32)
+        s = jnp.where(kmask, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, :, hh * d:(hh + 1) * d]
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, hh * d:(hh + 1) * d] = (out / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("length", "interpret"))
+def _softmax_pv_impl(scores, v, lens, length, interpret=False):
+    """``scores`` [B, H, Lp, Lp] and ``v`` [B, Lp, F] arrive padded to a
+    DMA-tileable Lp (128-aligned; the caller pads q/k/v before the score
+    dots — Mosaic rejects HBM DMA slices whose sublane dim is not
+    8-aligned, e.g. the raw bottleneck length 500).  ``length`` is the
+    true pre-pad length; padded keys are masked in-kernel and padded
+    query rows are garbage the caller slices off."""
+    b, h, lp, _ = scores.shape
+    f = v.shape[-1]
+    kernel = functools.partial(_kernel, length=length, lp=lp, heads=h)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # scores stay in HBM; the kernel streams one [Lp, Lp] head at
+            # a time through the double-buffered scratch
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, lp, f), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lp, f), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lp, f), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, lp, lp), scores.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(lens, scores, v)
+
+
+def softmax_pv_reference(scores, v, lens=None, length=None):
+    """XLA reference: masked full-row softmax then ·V, native layouts.
+
+    ``scores`` [B, H, Lp, Lp] pre-scaled; ``v`` [B, Lp, H*d]
+    channels-last; ``length`` the true pre-pad length (keys at
+    j >= min(length, lens[b]) are masked).
+    """
+    b, h, lp, _ = scores.shape
+    d = v.shape[-1] // h
+    length = lp if length is None else length
+    key_len = (jnp.full((b,), length, jnp.int32) if lens is None
+               else jnp.minimum(lens.astype(jnp.int32), length))
+    kmask = jnp.arange(lp, dtype=jnp.int32)[None] < key_len[:, None]
+    scores = jnp.where(kmask[:, None, None, :], scores,
+                       jnp.float32(NEG_INF))
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+    vh = v.reshape(b, lp, h, d)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, vh,
+                     preferred_element_type=v.dtype)
+    return out.reshape(b, lp, h * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def softmax_pv(scores, v, lens=None, length=None, interpret: bool = False):
+    """Masked softmax(scores)·V with native-layout V/output.
+
+    scores: [B, H, Lp, Lp] final pre-softmax scores (bias and 1/sqrt(d)
+    already applied), padded to a 128-aligned Lp by the caller;
+    v: [B, Lp, H*d]; lens: [B] int32 key-validity lengths or None;
+    length: the true pre-pad length (default Lp).  Output rows beyond
+    ``length`` are garbage the caller slices off.  Gradients recompute
+    through the XLA reference (eval-only hot path; the train path uses
+    attention_train.py).
+    """
+    length = scores.shape[2] if length is None else length
+    lens2d = (jnp.full((scores.shape[0], 1), length, jnp.int32)
+              if lens is None
+              else lens.astype(jnp.int32).reshape(-1, 1))
+    return _softmax_pv_impl(scores, v, lens2d, length, interpret)
+
+
+def _fwd(scores, v, lens, length, interpret):
+    return softmax_pv(scores, v, lens, length, interpret), (scores, v, lens)
+
+
+def _bwd(length, interpret, res, g):
+    scores, v, lens = res
+    _, vjp = jax.vjp(
+        lambda s, vv: softmax_pv_reference(s, vv, lens, length), scores, v
+    )
+    ds, dv = vjp(g)
+    lens_ct = (None if lens is None
+               else np.zeros(lens.shape, jax.dtypes.float0))
+    return ds, dv, lens_ct
+
+
+softmax_pv.defvjp(_fwd, _bwd)
