@@ -105,8 +105,11 @@ def summarize(logdir: str, top: int) -> None:
     i_expr = col_ids.index("hlo_op_expression")
     i_occ = col_ids.index("occurrences")
 
+    import re
+
     by_cat: dict[str, float] = {}
     by_name: dict[str, float] = {}
+    by_family: dict[str, float] = {}
     for row in table["rows"]:
         c = row["c"]
         t_us = float(c[i_time]["v"] or 0.0)
@@ -114,11 +117,21 @@ def summarize(logdir: str, top: int) -> None:
         name = str(c[i_expr]["v"] or "?")[:130]
         by_cat[cat] = by_cat.get(cat, 0.0) + t_us
         by_name[name] = by_name.get(name, 0.0) + t_us
+        # family = op name with the %/.N instance suffix stripped, so all
+        # instances of one kernel/fusion kind aggregate (e.g. %_bwd_impl.7
+        # -> _bwd_impl); keeps the result shape to identify the site
+        m = re.match(r"%([a-zA-Z_][\w-]*?)(?:[._]\d+)* = (\(?\w+\[[\d,]*\])",
+                     name)
+        fam = f"{m.group(1)} {m.group(2)}" if m else cat
+        by_family[fam] = by_family.get(fam, 0.0) + t_us
     total = sum(by_cat.values())
     print(f"\n== device time by HLO category (total {total/1e3:.2f} ms over "
           f"profiled steps) ==")
     for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{us/1e3:9.3f} ms  {100*us/max(total,1e-9):5.1f}%  {cat}")
+    print(f"\n== device time by op family ==")
+    for fam, us in sorted(by_family.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{us/1e3:9.3f} ms  {100*us/max(total,1e-9):5.1f}%  {fam}")
     print(f"\n== top {top} ops ==")
     for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{us/1e3:9.3f} ms  {100*us/max(total,1e-9):5.1f}%  {name}")

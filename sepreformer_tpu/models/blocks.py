@@ -138,22 +138,60 @@ def relpos_store_dtype(setting: str) -> jnp.dtype:
     return jnp.float32
 
 
+def _fused_pv_scores(q, k, v, pos, t: int, lp: int, d: int):
+    """Shared scores producer for the fused_pv eval and train paths.
+
+    q/k/v are [B, t, H, d]; pads them to the 128-aligned ``lp`` (Mosaic
+    needs DMA-tileable score tiles; padded keys are masked in-kernel and
+    padded query rows are sliced off by the caller), then computes
+    scores = (QKᵀ + Q·pos_ktᵀ) / sqrt(d) with XLA's batched MXU dots and
+    casts to the storage dtype (bf16 on TPU halves the tensor's HBM
+    write+read — the path's dominant cost; the kernels' softmax is f32
+    regardless).  Returns (scores [B, H, lp, lp], v padded [B, lp, H, d]).
+    """
+    qp, kp, vp = (
+        (jnp.pad(a, ((0, 0), (0, lp - t), (0, 0), (0, 0)))
+         if lp != t else a)
+        for a in (q, k, v)
+    )
+    scores = jnp.einsum(
+        "bihd,bjhd->bhij", dot_operand(qp), dot_operand(kp),
+        preferred_element_type=jnp.float32,
+    )
+    if pos.pos_kt is not None and pos.pos_kt.shape[0] == lp:
+        pos_kt = pos.pos_kt
+    else:
+        pos_kt = gather_pos_kt(pos.table, lp, pos.maxlen)
+        if pos.pos_kt is not None:
+            pos_kt = pos_kt.astype(pos.pos_kt.dtype)
+    scores = scores + jnp.einsum(
+        "bihd,idj->bhij",
+        dot_operand(qp.astype(pos_kt.dtype)),
+        dot_operand(pos_kt),
+        preferred_element_type=jnp.float32,
+    ).astype(scores.dtype)
+    scores = scores / math.sqrt(d)
+    return scores.astype(resolve_scores_dtype(pos.scores_dtype)), vp
+
+
 def resolve_attention_train_impl(impl: str, length: int = 0) -> str:
-    """Train-time resolver: the Pallas train kernel (single-block, hash
-    dropout, handwritten bwd) replaces the XLA path — which materializes
-    [B, H, L, L] through fwd+bwd — at the bottleneck lengths training
-    runs at.  Measured on v5e (B=4 x 4 s, f32, dropout 0.05): full train
-    step 155.7 -> 151.3 ms; standalone fwd+bwd at the dec-stage shape
-    [8, 8, 500, 16] is 2.4x faster (4.98 -> 2.08 ms — the in-model gap is
-    smaller because XLA amortizes the shared pos gather and fuses across
-    blocks)."""
+    """Train-time resolver.  "auto" on TPU at bottleneck lengths is
+    "fused_pv": XLA batched dots + one scores tensor + the
+    softmax·dropout·V train kernel (ops/pallas/softmax_pv_train) —
+    MEASURED on v5e (B=4 x 4 s, f32, MEASURE_ATTENTION_TRAIN.json): full
+    Base train step 131.9 ms vs 151.8 ms for the earlier single-block
+    "pallas" kernel (whose fwd AND adjoint pay a barrel-shift band
+    extraction) and 197.1 ms for the dense "xla" path (which
+    materializes probs/dropout-mask L² tensors through fwd+bwd).  The
+    "pallas" kernel remains selectable; beyond its 512-length ceiling
+    both kernels hand off to "xla"."""
     if impl == "auto":
         from sepreformer_tpu.ops.pallas.attention_train import (
             supported_length,
         )
 
         if jax.default_backend() == "tpu" and supported_length(length):
-            return "pallas"
+            return "fused_pv"
         return "xla"
     return impl
 
@@ -543,6 +581,42 @@ class MultiHeadAttention(nn.Module):
             )
 
             timpl = resolve_attention_train_impl(pos.train_impl, t)
+            if timpl in ("fused_pv", "fused_pv_interpret"):
+                # train-time fused_pv: XLA batched dots produce one scores
+                # tensor; ops/pallas/softmax_pv_train owns softmax + hash
+                # dropout + ·V fwd AND bwd (dV, dScores), and dq/dk/dpe
+                # fall out of the einsum adjoints + the pos_kt
+                # materializer's vjp.  Replaces the single-block train
+                # kernel's barrel-shift band extraction/adjoint — measured
+                # ~28 ms of the 151 ms B=4 train step (profile_step.py).
+                from sepreformer_tpu.ops.pallas.softmax_pv_train import (
+                    softmax_pv_dropout,
+                )
+                from sepreformer_tpu.ops.pallas.softmax_pv_train import (
+                    supported_length as _pv_train_ok,
+                )
+
+                lp = ((t + 127) // 128) * 128
+                if _pv_train_ok(lp):
+                    if self.dropout > 0.0:
+                        rng = self.make_rng("dropout")
+                        seed = jax.random.randint(
+                            rng, (), 0, jnp.iinfo(jnp.int32).max,
+                            dtype=jnp.int32,
+                        )
+                    else:
+                        seed = jnp.int32(0)
+                    scores, vp = _fused_pv_scores(q, k, v, pos, t, lp, d)
+                    out = softmax_pv_dropout(
+                        scores, vp.reshape(b, lp, self.dim), seed, None,
+                        t, float(self.dropout),
+                        timpl == "fused_pv_interpret",
+                    )[:, :t]
+                    out = TorchLinear(self.dim, name="out")(out)
+                    out = nn.Dropout(self.dropout,
+                                     deterministic=not train)(out)
+                    return LayerScale(self.dim, self.layer_scale_init,
+                                      name="layer_scale")(out)
             if timpl in ("pallas", "pallas_interpret") and supported_length(t):
                 from sepreformer_tpu.ops.pallas.attention_train import (
                     flash_relpos_attention_train,
@@ -642,33 +716,7 @@ class MultiHeadAttention(nn.Module):
             )
             if use_fused_pv and pos is not None:
                 lp = ((t + 127) // 128) * 128
-                qp, kp, vp = (
-                    (jnp.pad(a, ((0, 0), (0, lp - t), (0, 0), (0, 0)))
-                     if lp != t else a)
-                    for a in (q, k, v)
-                )
-                scores = jnp.einsum(
-                    "bihd,bjhd->bhij", dot_operand(qp), dot_operand(kp),
-                    preferred_element_type=jnp.float32,
-                )
-                if pos.pos_kt is not None and pos.pos_kt.shape[0] == lp:
-                    pos_kt = pos.pos_kt
-                else:
-                    pos_kt = gather_pos_kt(pos.table, lp, pos.maxlen)
-                    if pos.pos_kt is not None:
-                        pos_kt = pos_kt.astype(pos.pos_kt.dtype)
-                scores = scores + jnp.einsum(
-                    "bihd,idj->bhij",
-                    dot_operand(qp.astype(pos_kt.dtype)),
-                    dot_operand(pos_kt),
-                    preferred_element_type=jnp.float32,
-                ).astype(scores.dtype)
-                scores = scores / math.sqrt(d)
-                # bf16 scores halve the tensor's HBM write+read (the
-                # path's dominant cost); the kernel's softmax is f32
-                # regardless (resolve_scores_dtype)
-                scores = scores.astype(
-                    resolve_scores_dtype(pos.scores_dtype))
+                scores, vp = _fused_pv_scores(q, k, v, pos, t, lp, d)
                 from sepreformer_tpu.ops.pallas.softmax_pv import (
                     softmax_pv,
                 )

@@ -1,0 +1,130 @@
+"""Train-mode fused softmax·dropout·V (ops/pallas/softmax_pv_train).
+
+Standalone fwd/bwd equivalence vs the hash-dropout jnp reference, the
+dropout statistics, and the full train step through
+attention_train_impl="fused_pv_interpret" vs the XLA path at dropout 0
+(identical math -> identical losses and gradients; reference dropout
+site: modules/network.py:114-124).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sepreformer_tpu.ops.pallas.softmax_pv_train import (
+    softmax_pv_dropout,
+    softmax_pv_dropout_reference,
+    supported_length,
+)
+
+
+def _inputs(b=2, h=4, lp=128, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    scores = jnp.asarray(rng.normal(size=(b, h, lp, lp)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, lp, h * d)), jnp.float32)
+    return scores, v
+
+
+@pytest.mark.parametrize("p", [0.0, 0.2])
+@pytest.mark.parametrize("masked", [False, True])
+def test_forward_matches_reference(p, masked):
+    scores, v = _inputs()
+    t, seed = 100, jnp.int32(77)
+    lens = jnp.asarray([60, 90], jnp.int32) if masked else None
+    got = softmax_pv_dropout(scores, v, seed, lens, t, p, True)
+    ref = softmax_pv_dropout_reference(scores, v, seed, lens, t, p)
+    np.testing.assert_allclose(np.asarray(got[:, :t]),
+                               np.asarray(ref[:, :t]),
+                               rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("p", [0.0, 0.2])
+def test_gradients_match_reference(p):
+    scores, v = _inputs(seed=1)
+    t, seed = 100, jnp.int32(5)
+    g = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, t, 64)), jnp.float32)
+
+    def run(fn):
+        return jax.grad(
+            lambda s, vv: jnp.sum(fn(s, vv)[:, :t] * g), argnums=(0, 1)
+        )(scores, v)
+
+    ds, dv = run(lambda s, vv: softmax_pv_dropout(
+        s, vv, seed, None, t, p, True))
+    ds2, dv2 = run(lambda s, vv: softmax_pv_dropout_reference(
+        s, vv, seed, None, t, p))
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(ds2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dropout_statistics_and_determinism():
+    scores, v = _inputs(b=1, h=8, lp=256, seed=3)
+    seed = jnp.int32(99)
+    a = softmax_pv_dropout(scores, v, seed, None, 256, 0.3, True)
+    b = softmax_pv_dropout(scores, v, seed, None, 256, 0.3, True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a different seed must change the mask
+    c = softmax_pv_dropout(scores, v, jnp.int32(100), None, 256, 0.3, True)
+    assert float(jnp.abs(a - c).max()) > 0.0
+
+
+def test_supported_length_gate():
+    assert supported_length(512)
+    assert not supported_length(640)
+
+
+def test_train_step_through_fused_pv_matches_xla_path():
+    """Full train step with attention_train_impl=fused_pv_interpret vs
+    xla at dropout 0: same math -> same losses and gradients."""
+    from dataclasses import replace
+
+    from sepreformer_tpu.config import (
+        ModelConfig,
+        OptimConfig,
+        VariantConfig,
+    )
+    from sepreformer_tpu.engine.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    model = ModelConfig(
+        num_stages=1, num_spks=2, enc_dim=16, enc_kernel=16, enc_stride=4,
+        feat_dim=16, num_heads=2, pos_maxlen=64, local_kernel=9,
+        down_kernel=5, dropout=0.0,
+    )
+    base = VariantConfig(name="attn-train-xla", model=model,
+                         optim=OptimConfig(lr=1e-3))
+    fpv = replace(base, model=replace(
+        model, attention_train_impl="fused_pv_interpret"))
+
+    t = 2000
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(scale=0.1, size=(2, t)), jnp.float32)
+    s = jnp.asarray(rng.normal(scale=0.05, size=(2, 2, t)), jnp.float32)
+    state = create_train_state(base, jax.random.key(0), sample_len=t)
+    lr, alpha, key = jnp.float32(1e-3), jnp.float32(0.4), jax.random.key(1)
+
+    _, m_a = make_train_step(base, donate=False, debug_grads=True)(
+        state, x, s, lr, alpha, key)
+    _, m_b = make_train_step(fpv, donate=False, debug_grads=True)(
+        state, x, s, lr, alpha, key)
+    np.testing.assert_allclose(float(m_a["total_loss"]),
+                               float(m_b["total_loss"]), rtol=1e-5)
+    norm = float(m_a["grad_norm"])
+    for a, b in zip(jax.tree.leaves(m_a["grads"]),
+                    jax.tree.leaves(m_b["grads"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5 * norm)
+
+    # with dropout on, the kernel path must run and produce finite loss
+    drop = replace(base, model=replace(
+        model, dropout=0.1, attention_train_impl="fused_pv_interpret"))
+    state_d = create_train_state(drop, jax.random.key(0), sample_len=t)
+    _, m_d = make_train_step(drop, donate=False)(
+        state_d, x, s, lr, alpha, key)
+    assert np.isfinite(float(m_d["total_loss"]))
