@@ -3,8 +3,11 @@ attention / fused GCFN vs their XLA masked references.
 
 These cover VERDICT r2 item 7: masked batched eval (bucket padding,
 ``eval_batch_size > 1``) keeps the Pallas kernels instead of falling back
-to dense XLA.  Interpreter mode on CPU; on-chip execution is exercised by
-bench.py / measure paths.
+to dense XLA.  Interpreter mode on CPU; the on-chip evidence is
+MEASURE_MASKED_EVAL.json (measure_masked_eval.py): a bucket-padded batch
+through the REAL masked kernels reproduces each utterance's solo forward
+at >= 48.4 dB SI-SNR, with the masked batched-eval throughput table at
+eval_batch_size in {1, 4, 8}.
 """
 
 import numpy as np
