@@ -86,16 +86,24 @@ def main() -> None:
     # round-2 bench number 279.4 GF was the fused path's cost analysis,
     # which misses the fused-GCFN matmuls; see VERDICT r2 "MFU
     # accounting").  No cost-analysis compile happens here.
-    flops = train_flops = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "FLOPS.json")) as f:
-            acct = json.load(f)
-        if acct.get("batch") == batch and acct.get("samples") == t_samples:
-            flops = acct["fwd_gflops"] * 1e9
-            train_flops = acct["train_gflops"] * 1e9
-    except Exception:
-        pass
+    def flops_entry(variant_name, want_batch, want_samples):
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "FLOPS.json")) as f:
+                acct = json.load(f)
+            if "variant" in acct:  # legacy flat (pre-round-4) layout
+                acct = {acct["variant"]: acct}
+            row = acct[variant_name]
+            if (row.get("batch") == want_batch
+                    and row.get("samples") == want_samples):
+                return row["fwd_gflops"] * 1e9, row["train_gflops"] * 1e9
+        except Exception:
+            pass
+        return None, None
+
+    flops, train_flops = flops_entry("SepReformer_Base_WSJ0", batch,
+                                     t_samples)
 
     # ---- training: chained train steps ------------------------------------
     state = create_train_state(variant, jax.random.key(0), sample_len=t_samples)
@@ -123,6 +131,92 @@ def main() -> None:
     train_step_time = (time.perf_counter() - t0) / n_train_chain
     train_throughput = audio_seconds / train_step_time
 
+    # ---- Large variant row (VERDICT r3 item 7) ---------------------------
+    # bf16 compute (its production dtype: the model axis / per-stage
+    # SpkSplit / bf16 policy exist for Large), B=2 x 4 s — the measured
+    # single-chip knee for feat_dim 256 (STATUS.md round-2 session 2).
+    import dataclasses
+
+    large_extras = {}
+    try:
+        lvariant = get_variant("SepReformer_Large_DM_WSJ0")
+        lvariant = dataclasses.replace(
+            lvariant,
+            model=dataclasses.replace(lvariant.model,
+                                      compute_dtype="bfloat16"),
+        )
+        lb, lt = 2, 32000
+        l_audio_seconds = lb * lt / sr
+        xl = jnp.asarray(rng.normal(scale=0.05, size=(lb, lt)), jnp.float32)
+        lmodel = SepReformer(lvariant.model)
+        t0 = time.perf_counter()
+        lvars = jax.jit(lmodel.init)(jax.random.key(0), xl[:1, :16000])
+        jax.block_until_ready(lvars)
+        l_init = time.perf_counter() - t0
+
+        @jax.jit
+        def l_infer_chain(variables, x):
+            def body(i, x):
+                audio, _ = lmodel.apply(variables, x)
+                return x + 1e-6 * audio.sum(axis=0).astype(x.dtype)
+            return jax.lax.fori_loop(0, n_chain, body, x).sum()
+
+        t0 = time.perf_counter()
+        float(l_infer_chain(lvars, xl))
+        l_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(l_infer_chain(lvars, xl))
+        l_step = (time.perf_counter() - t0) / n_chain
+
+        lstate = create_train_state(lvariant, jax.random.key(0),
+                                    sample_len=lt)
+        l_train_step = make_train_step(lvariant, donate=False)
+        lsrc = jnp.stack([xl * 0.5, xl * 0.5])
+
+        @jax.jit
+        def l_train_chain(state, x, src):
+            def body(i, state):
+                new_state, _ = l_train_step(
+                    state, x, src, lr, alpha,
+                    jax.random.fold_in(jax.random.key(1), i),
+                )
+                return new_state
+            final = jax.lax.fori_loop(0, 5, body, state)
+            return jax.tree.leaves(final.params)[0].sum()
+
+        t0 = time.perf_counter()
+        float(l_train_chain(lstate, xl, lsrc))
+        l_train_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(l_train_chain(lstate, xl, lsrc))
+        l_train_step_s = (time.perf_counter() - t0) / 5
+
+        large_extras = {
+            "model": "SepReformer_Large_DM_WSJ0",
+            "compute_dtype": "bfloat16",
+            "batch": lb,
+            "infer_step_ms": round(l_step * 1e3, 2),
+            "infer_audio_s_per_s": round(l_audio_seconds / l_step, 2),
+            "train_step_ms": round(l_train_step_s * 1e3, 2),
+            "train_audio_s_per_s": round(l_audio_seconds / l_train_step_s,
+                                         2),
+            "init_s": round(l_init, 2),
+            "infer_compile_s": round(l_compile, 2),
+            "train_compile_s": round(l_train_compile, 2),
+        }
+        l_flops, l_train_flops = flops_entry(
+            "SepReformer_Large_DM_WSJ0", lb, lt)
+        if l_flops:
+            large_extras["fwd_gflops"] = round(l_flops / 1e9, 1)
+            large_extras["infer_mfu_pct"] = round(
+                l_flops / l_step / (197.0 * 1e12) * 100, 2)
+        if l_train_flops:
+            large_extras["train_gflops"] = round(l_train_flops / 1e9, 1)
+            large_extras["train_mfu_pct"] = round(
+                l_train_flops / l_train_step_s / (197.0 * 1e12) * 100, 2)
+    except Exception as e:  # the Large row must never sink the headline
+        large_extras = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     extras = {
         "platform": platform,
         "model": "SepReformer_Base_WSJ0",
@@ -135,6 +229,7 @@ def main() -> None:
         "infer_compile_s": round(compile_time, 2),
         "train_compile_s": round(train_compile_time, 2),
         "measurement": f"chained x{n_chain} (data-dependent fori_loop)",
+        "large": large_extras,
     }
     # MFU denominator: v5e peak is 197 TFLOP/s (bf16 MXU; f32 matmuls run
     # at bf16 default precision on this platform, so bf16 peak is the

@@ -111,8 +111,19 @@ def main() -> None:
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "FLOPS.json")
+    # one file, one entry per variant (bench.py reads its variant's row);
+    # a legacy flat file (pre-round-4) is folded into its variant key
+    acct: dict = {}
+    try:
+        with open(path) as f:
+            acct = json.load(f)
+        if "variant" in acct:
+            acct = {acct["variant"]: acct}
+    except Exception:
+        acct = {}
+    acct[args.variant] = out
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(acct, f, indent=1)
     print(json.dumps(out))
 
 

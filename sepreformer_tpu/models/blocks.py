@@ -148,6 +148,15 @@ def _fused_pv_scores(q, k, v, pos, t: int, lp: int, d: int):
     casts to the storage dtype (bf16 on TPU halves the tensor's HBM
     write+read — the path's dominant cost; the kernels' softmax is f32
     regardless).  Returns (scores [B, H, lp, lp], v padded [B, lp, H, d]).
+
+    A two-tensor variant (emit qk and the bias product UNSUMMED, each
+    dot writing bf16 directly, sum in the consuming kernel's VMEM —
+    softmax_pv's ``bias`` argument) was measured and REJECTED on v5e
+    (round 4): Base B=4 infer 21.66 → 22.85 ms, train 130.3 → 130.9.
+    XLA already folds the add+cast into the dot epilogues, so the split
+    only added a second HBM stream for the kernels to wait on.  The
+    kernels keep bias support (tested) for re-evaluation on other XLA
+    versions.
     """
     qp, kp, vp = (
         (jnp.pad(a, ((0, 0), (0, lp - t), (0, 0), (0, 0)))
@@ -197,14 +206,32 @@ def resolve_attention_train_impl(impl: str, length: int = 0) -> str:
 
 
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
-    """'auto' on TPU: "fused_pv" (XLA scores + Pallas masked-softmax·V,
-    MEASURED on v5e: full-model Base B=4 forward 23.21 → 21.7 ms with
-    bf16 scores, MEASURE_ATTENTION_PV.json) until the [B,H,L,L] scores
-    tensor gets long-utterance large, then the flash kernel (no L²
-    HBM tensors at all); "xla" elsewhere."""
+    """'auto' on TPU — three bands, all MEASURED (BENCH_LONG.json, v5e,
+    B=1 full-context forwards; MEASURE_ATTENTION_PV.json at B=4 4 s):
+
+    - L <= 1024: "fused_pv" (XLA scores + Pallas masked-softmax·V).
+      Wins everywhere it fits VMEM: 21.7 vs 23.2 ms at the bottleneck
+      (B=4 4 s), and 17.9 vs 24.0 (xla) / 34.9 (flash) ms at 8 s
+      utterances (L=1000).  The kernel's double-buffered per-head
+      [Lp, Lp] scratch overflows VMEM at Lp=2048 (compile failure) —
+      hence the ceiling.
+    - 1024 < L <= 2048: "xla".  The dense path beats the flash kernel
+      here (16 s: 80.8 vs 108.9 ms) — the flash kernel's one-head-per-
+      program d=16 dots fill 16 of 128 MXU lanes, and at these lengths
+      HBM still holds the L² tensors comfortably.
+    - L > 2048: "pallas" (flash).  The dense path stops compiling
+      (server-side compiler failure at L=4000, 32 s); the flash kernel
+      is the only full-context option (392.6 ms at 32 s) and the
+      memory-safe choice.  Linear-cost chunked serving
+      (sepreformer_tpu.serving) remains the recommended long-form path.
+    """
     if impl == "auto":
         if jax.default_backend() == "tpu":
-            return "pallas" if length >= 1024 else "fused_pv"
+            if length <= 1024:
+                return "fused_pv"
+            if length <= 2048:
+                return "xla"
+            return "pallas"
         return "xla"
     return impl
 

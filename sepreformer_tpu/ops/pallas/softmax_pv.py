@@ -73,6 +73,51 @@ def _kernel(lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
         out_ref[0, :, hh * d:(hh + 1) * d] = (out / l).astype(out_ref.dtype)
 
 
+def _kernel2(lens_ref, s_hbm, b_hbm, v_ref, out_ref, s_scr, b_scr,
+             s_sems, b_sems, *, length: int, lp: int, heads: int):
+    """Two-tensor variant: scores arrive as the UNSUMMED (QKᵀ, Q·pos_ktᵀ)
+    dot outputs and are added in VMEM after the f32 upcast — the separate
+    XLA add fusion (two L² reads + one L² write per block) never exists,
+    and both dots write their MXU output dtype directly."""
+    b = pl.program_id(0)
+    limit = jnp.minimum(length, lens_ref[b, 0])
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    kmask = col < limit
+    d = v_ref.shape[-1] // heads
+
+    def get_s(slot, hh):
+        return pltpu.make_async_copy(
+            s_hbm.at[b, hh], s_scr.at[slot], s_sems.at[slot]
+        )
+
+    def get_b(slot, hh):
+        return pltpu.make_async_copy(
+            b_hbm.at[b, hh], b_scr.at[slot], b_sems.at[slot]
+        )
+
+    get_s(0, 0).start()
+    get_b(0, 0).start()
+    for hh in range(heads):
+        slot = hh % 2
+        if hh + 1 < heads:
+            get_s((hh + 1) % 2, hh + 1).start()
+            get_b((hh + 1) % 2, hh + 1).start()
+        get_s(slot, hh).wait()
+        get_b(slot, hh).wait()
+        s = (s_scr[slot].astype(jnp.float32)
+             + b_scr[slot].astype(jnp.float32))
+        s = jnp.where(kmask, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, :, hh * d:(hh + 1) * d]
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, hh * d:(hh + 1) * d] = (out / l).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("length", "interpret"))
 def _softmax_pv_impl(scores, v, lens, length, interpret=False):
     """``scores`` [B, H, Lp, Lp] and ``v`` [B, Lp, F] arrive padded to a
@@ -107,13 +152,45 @@ def _softmax_pv_impl(scores, v, lens, length, interpret=False):
     )(lens, scores, v)
 
 
-def softmax_pv_reference(scores, v, lens=None, length=None):
+@functools.partial(jax.jit, static_argnames=("length", "interpret"))
+def _softmax_pv2_impl(scores, bias, v, lens, length, interpret=False):
+    b, h, lp, _ = scores.shape
+    f = v.shape[-1]
+    kernel = functools.partial(_kernel2, length=length, lp=lp, heads=h)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, lp, f), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lp, f), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lp, f), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, lp, lp), scores.dtype),
+            pltpu.VMEM((2, lp, lp), bias.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(lens, scores, bias, v)
+
+
+def softmax_pv_reference(scores, v, lens=None, length=None, bias=None):
     """XLA reference: masked full-row softmax then ·V, native layouts.
 
     ``scores`` [B, H, Lp, Lp] pre-scaled; ``v`` [B, Lp, H*d]
     channels-last; ``length`` the true pre-pad length (keys at
-    j >= min(length, lens[b]) are masked).
+    j >= min(length, lens[b]) are masked); ``bias`` an optional second
+    scores tensor summed in f32 (the two-tensor kernel form).
     """
+    if bias is not None:
+        scores = scores.astype(jnp.float32) + bias.astype(jnp.float32)
     b, h, lp, _ = scores.shape
     d = v.shape[-1] // h
     length = lp if length is None else length
@@ -130,37 +207,55 @@ def softmax_pv_reference(scores, v, lens=None, length=None):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def softmax_pv(scores, v, lens=None, length=None, interpret: bool = False):
-    """Masked softmax(scores)·V with native-layout V/output.
+def softmax_pv(scores, v, lens=None, length=None, interpret: bool = False,
+               bias=None):
+    """Masked softmax(scores [+ bias])·V with native-layout V/output.
 
-    scores: [B, H, Lp, Lp] final pre-softmax scores (bias and 1/sqrt(d)
-    already applied), padded to a 128-aligned Lp by the caller;
-    v: [B, Lp, H*d]; lens: [B] int32 key-validity lengths or None;
-    length: the true pre-pad length (default Lp).  Output rows beyond
-    ``length`` are garbage the caller slices off.  Gradients recompute
-    through the XLA reference (eval-only hot path; the train path uses
-    attention_train.py).
+    scores: [B, H, Lp, Lp] pre-softmax scores (1/sqrt(d) already
+    applied), padded to a 128-aligned Lp by the caller; v: [B, Lp, H*d];
+    lens: [B] int32 key-validity lengths or None; length: the true
+    pre-pad length (default Lp); bias: optional second scores tensor
+    (the rel-pos product) — passing it UNSUMMED lets both MXU dots write
+    their output dtype directly and moves the add into VMEM, so the XLA
+    add fusion's two L² reads + one L² write per block never happen.
+    Output rows beyond ``length`` are garbage the caller slices off.
+    Gradients recompute through the XLA reference (eval-only hot path;
+    the train path uses softmax_pv_train.py).
     """
     length = scores.shape[2] if length is None else length
     lens2d = (jnp.full((scores.shape[0], 1), length, jnp.int32)
               if lens is None
               else lens.astype(jnp.int32).reshape(-1, 1))
-    return _softmax_pv_impl(scores, v, lens2d, length, interpret)
+    if bias is None:
+        return _softmax_pv_impl(scores, v, lens2d, length, interpret)
+    return _softmax_pv2_impl(scores, bias, v, lens2d, length, interpret)
 
 
-def _fwd(scores, v, lens, length, interpret):
-    return softmax_pv(scores, v, lens, length, interpret), (scores, v, lens)
+def _fwd(scores, v, lens, length, interpret, bias):
+    return (softmax_pv(scores, v, lens, length, interpret, bias),
+            (scores, v, lens, bias))
 
 
 def _bwd(length, interpret, res, g):
-    scores, v, lens = res
-    _, vjp = jax.vjp(
-        lambda s, vv: softmax_pv_reference(s, vv, lens, length), scores, v
-    )
-    ds, dv = vjp(g)
+    scores, v, lens, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda s, vv: softmax_pv_reference(s, vv, lens, length),
+            scores, v,
+        )
+        ds, dv = vjp(g)
+        dbias = None
+    else:
+        _, vjp = jax.vjp(
+            lambda s, vv, bb: softmax_pv_reference(s, vv, lens, length, bb),
+            scores, v, bias,
+        )
+        ds, dv, dbias = vjp(g)
+        dbias = dbias.astype(bias.dtype)
+        ds = ds.astype(scores.dtype)
     lens_ct = (None if lens is None
                else np.zeros(lens.shape, jax.dtypes.float0))
-    return ds, dv, lens_ct
+    return ds, dv, lens_ct, dbias
 
 
 softmax_pv.defvjp(_fwd, _bwd)

@@ -64,26 +64,40 @@ def _drop_scale(seed, b, hh, heads, lp, col, p_drop):
     return keep_mask(seed, 0, rows, col, p_drop) / (1.0 - p_drop)
 
 
-def _fwd_kernel(seed_ref, lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
-                *, length, lp, heads, p_drop):
+def _fwd_kernel(seed_ref, lens_ref, s_hbm, b_hbm, v_ref, out_ref,
+                s_scr, b_scr, s_sems, b_sems,
+                *, length, lp, heads, p_drop, has_bias):
     b = pl.program_id(0)
     limit = jnp.minimum(length, lens_ref[b, 0])
     col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
     kmask = col < limit
     d = v_ref.shape[-1] // heads
 
-    def get_dma(slot, hh):
+    def get_s(slot, hh):
         return pltpu.make_async_copy(
-            s_hbm.at[b, hh], scratch.at[slot], sems.at[slot]
+            s_hbm.at[b, hh], s_scr.at[slot], s_sems.at[slot]
         )
 
-    get_dma(0, 0).start()
+    def get_b(slot, hh):
+        return pltpu.make_async_copy(
+            b_hbm.at[b, hh], b_scr.at[slot], b_sems.at[slot]
+        )
+
+    get_s(0, 0).start()
+    if has_bias:
+        get_b(0, 0).start()
     for hh in range(heads):
         slot = hh % 2
         if hh + 1 < heads:
-            get_dma((hh + 1) % 2, hh + 1).start()
-        get_dma(slot, hh).wait()
-        s = jnp.where(kmask, scratch[slot].astype(jnp.float32), NEG_INF)
+            get_s((hh + 1) % 2, hh + 1).start()
+            if has_bias:
+                get_b((hh + 1) % 2, hh + 1).start()
+        get_s(slot, hh).wait()
+        s = s_scr[slot].astype(jnp.float32)
+        if has_bias:
+            get_b(slot, hh).wait()
+            s = s + b_scr[slot].astype(jnp.float32)
+        s = jnp.where(kmask, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=1, keepdims=True)
@@ -98,9 +112,10 @@ def _fwd_kernel(seed_ref, lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
         out_ref[0, :, hh * d:(hh + 1) * d] = (out / l).astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, lens_ref, s_hbm, v_ref, dout_ref, ds_hbm, dv_ref,
-                s_scr, ds_scr, s_sems, ds_sems,
-                *, length, lp, heads, p_drop):
+def _bwd_kernel(seed_ref, lens_ref, s_hbm, b_hbm, v_ref, dout_ref,
+                ds_hbm, dv_ref, s_scr, b_scr, ds_scr,
+                s_sems, b_sems, ds_sems,
+                *, length, lp, heads, p_drop, has_bias):
     b = pl.program_id(0)
     limit = jnp.minimum(length, lens_ref[b, 0])
     col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
@@ -112,18 +127,31 @@ def _bwd_kernel(seed_ref, lens_ref, s_hbm, v_ref, dout_ref, ds_hbm, dv_ref,
             s_hbm.at[b, hh], s_scr.at[slot], s_sems.at[slot]
         )
 
+    def get_b(slot, hh):
+        return pltpu.make_async_copy(
+            b_hbm.at[b, hh], b_scr.at[slot], b_sems.at[slot]
+        )
+
     def put_ds(slot, hh):
         return pltpu.make_async_copy(
             ds_scr.at[slot], ds_hbm.at[b, hh], ds_sems.at[slot]
         )
 
     get_s(0, 0).start()
+    if has_bias:
+        get_b(0, 0).start()
     for hh in range(heads):
         slot = hh % 2
         if hh + 1 < heads:
             get_s((hh + 1) % 2, hh + 1).start()
+            if has_bias:
+                get_b((hh + 1) % 2, hh + 1).start()
         get_s(slot, hh).wait()
-        s = jnp.where(kmask, s_scr[slot].astype(jnp.float32), NEG_INF)
+        s = s_scr[slot].astype(jnp.float32)
+        if has_bias:
+            get_b(slot, hh).wait()
+            s = s + b_scr[slot].astype(jnp.float32)
+        s = jnp.where(kmask, s, NEG_INF)
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
@@ -179,41 +207,56 @@ def _common_specs(b, lp, f):
     return seed, lens, hbm, bf
 
 
+def _bias_arg(scores, bias):
+    """has_bias is a static kernel parameter; the no-bias call still
+    passes a (never-read) placeholder so the kernel arity is fixed."""
+    if bias is None:
+        return jnp.zeros((1, 1, 8, 128), scores.dtype), False
+    return bias, True
+
+
 @functools.partial(
     jax.jit, static_argnames=("length", "p_drop", "interpret")
 )
-def _fwd_impl(scores, v, seed, lens, length, p_drop, interpret=False):
+def _fwd_impl(scores, v, seed, lens, length, p_drop, interpret=False,
+              bias=None):
     b, h, lp, _ = scores.shape
     f = v.shape[-1]
     seed_s, lens_s, hbm_s, bf_s = _common_specs(b, lp, f)
+    bias_arr, has_bias = _bias_arg(scores, bias)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, length=length, lp=lp, heads=h,
-                          p_drop=p_drop),
+                          p_drop=p_drop, has_bias=has_bias),
         grid=(b,),
-        in_specs=[seed_s, lens_s, hbm_s, bf_s],
+        in_specs=[seed_s, lens_s, hbm_s, hbm_s, bf_s],
         out_specs=bf_s,
         out_shape=jax.ShapeDtypeStruct((b, lp, f), v.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, lp, lp), scores.dtype),
+            pltpu.VMEM((2, lp, lp) if has_bias else (1, 8, 128),
+                       bias_arr.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1, 1),
-      _lens2d(lens, b, length), scores, v)
+      _lens2d(lens, b, length), scores, bias_arr, v)
 
 
 @functools.partial(
     jax.jit, static_argnames=("length", "p_drop", "interpret")
 )
-def _bwd_impl(scores, v, seed, lens, dout, length, p_drop, interpret=False):
+def _bwd_impl(scores, v, seed, lens, dout, length, p_drop, interpret=False,
+              bias=None):
     b, h, lp, _ = scores.shape
     f = v.shape[-1]
     seed_s, lens_s, hbm_s, bf_s = _common_specs(b, lp, f)
+    bias_arr, has_bias = _bias_arg(scores, bias)
     ds, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, length=length, lp=lp, heads=h,
-                          p_drop=p_drop),
+                          p_drop=p_drop, has_bias=has_bias),
         grid=(b,),
-        in_specs=[seed_s, lens_s, hbm_s, bf_s, bf_s],
+        in_specs=[seed_s, lens_s, hbm_s, hbm_s, bf_s, bf_s],
         out_specs=[hbm_s, bf_s],
         out_shape=[
             # dScores in the scores' storage dtype: its consumers are the
@@ -223,20 +266,25 @@ def _bwd_impl(scores, v, seed, lens, dout, length, p_drop, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((2, lp, lp), scores.dtype),
+            pltpu.VMEM((2, lp, lp) if has_bias else (1, 8, 128),
+                       bias_arr.dtype),
             pltpu.VMEM((2, lp, lp), scores.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1, 1),
-      _lens2d(lens, b, length), scores, v, dout.astype(v.dtype))
+      _lens2d(lens, b, length), scores, bias_arr, v, dout.astype(v.dtype))
     return ds, dv
 
 
 def softmax_pv_dropout_reference(scores, v, seed, lens=None, length=None,
-                                 p_drop=0.0):
+                                 p_drop=0.0, bias=None):
     """Pure-jnp reference with the identical hash dropout (tests must
     match the kernels exactly at f32)."""
+    if bias is not None:
+        scores = scores.astype(jnp.float32) + bias.astype(jnp.float32)
     b, h, lp, _ = scores.shape
     d = v.shape[-1] // h
     length = lp if length is None else length
@@ -262,39 +310,47 @@ def softmax_pv_dropout_reference(scores, v, seed, lens=None, length=None,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def softmax_pv_dropout(scores, v, seed, lens=None, length=None,
-                       p_drop: float = 0.0, interpret: bool = False):
-    """Masked softmax(scores) with attention-prob hash dropout, times V.
+                       p_drop: float = 0.0, interpret: bool = False,
+                       bias=None):
+    """Masked softmax(scores [+ bias]) with attention-prob hash dropout,
+    times V.
 
-    scores: [B, H, Lp, Lp] pre-softmax scores (bias and 1/sqrt(d) already
+    scores: [B, H, Lp, Lp] pre-softmax scores (1/sqrt(d) already
     applied), Lp 128-aligned; v: [B, Lp, H*d] channels-last; seed: int32
     scalar driving the stateless dropout hash; lens: [B] int32 key
-    validity lengths or None; length: true pre-pad length.  Rows beyond
-    ``length`` are garbage the caller slices off (their upstream
-    gradient is zero after the slice, so no masking is needed in the
-    backward).  The backward kernel recomputes the softmax from the same
-    stored scores and returns (dScores, dV); everything upstream of the
-    scores tensor differentiates through XLA.
+    validity lengths or None; length: true pre-pad length; bias: an
+    optional second scores tensor (the rel-pos product), summed with
+    ``scores`` in VMEM after the f32 upcast — both producing MXU dots
+    then write their output dtype directly and the XLA add fusion never
+    exists.  Rows beyond ``length`` are garbage the caller slices off
+    (their upstream gradient is zero after the slice, so no masking is
+    needed in the backward).  The backward kernel recomputes the softmax
+    from the same stored tensors and returns (dScores, dV) — dScores is
+    also the bias cotangent (the add distributes it), so the same buffer
+    feeds both einsum adjoints; everything upstream differentiates
+    through XLA.
     """
     length = scores.shape[2] if length is None else length
     return _fwd_impl(scores, v, seed, lens, length, float(p_drop),
-                     interpret)
+                     interpret, bias)
 
 
-def _vjp_fwd(scores, v, seed, lens, length, p_drop, interpret):
+def _vjp_fwd(scores, v, seed, lens, length, p_drop, interpret, bias=None):
     out = softmax_pv_dropout(scores, v, seed, lens, length, p_drop,
-                             interpret)
-    return out, (scores, v, seed, lens)
+                             interpret, bias)
+    return out, (scores, v, seed, lens, bias)
 
 
 def _vjp_bwd(length, p_drop, interpret, res, g):
-    scores, v, seed, lens = res
+    scores, v, seed, lens, bias = res
     length = scores.shape[2] if length is None else length
     ds, dv = _bwd_impl(scores, v, seed, lens, g, length, float(p_drop),
-                       interpret)
+                       interpret, bias)
     lens_ct = (None if lens is None
                else np.zeros(lens.shape, jax.dtypes.float0))
+    dbias = None if bias is None else ds.astype(bias.dtype)
     return (ds.astype(scores.dtype), dv.astype(v.dtype),
-            np.zeros((), jax.dtypes.float0), lens_ct)
+            np.zeros((), jax.dtypes.float0), lens_ct, dbias)
 
 
 softmax_pv_dropout.defvjp(_vjp_fwd, _vjp_bwd)

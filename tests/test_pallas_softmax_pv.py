@@ -53,6 +53,35 @@ def test_vjp_matches_reference():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_two_tensor_bias_form_matches_reference():
+    """The unsummed (qk, bias) kernel form — measured-and-rejected as the
+    model default (blocks._fused_pv_scores docstring) but kept tested."""
+    rng = np.random.default_rng(4)
+    b, h, l, d = 2, 4, 128, 16
+    qk = jnp.asarray(rng.normal(size=(b, h, l, l)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(b, h, l, l)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, l, h * d)), jnp.float32)
+    lens = jnp.asarray([100, 128], jnp.int32)
+    got = softmax_pv(qk, v, lens, None, True, bias)
+    ref = softmax_pv_reference(qk, v, lens, None, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=2e-6)
+    g = jnp.asarray(rng.normal(size=(b, l, h * d)), jnp.float32)
+    grads = jax.grad(
+        lambda s, vv, bb: jnp.sum(softmax_pv(s, vv, lens, None, True, bb)
+                                  * g),
+        argnums=(0, 1, 2),
+    )(qk, v, bias)
+    grads_ref = jax.grad(
+        lambda s, vv, bb: jnp.sum(
+            softmax_pv_reference(s, vv, lens, None, bb) * g),
+        argnums=(0, 1, 2),
+    )(qk, v, bias)
+    for a, r in zip(grads, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def _model_out(impl, x, lens=None):
     from sepreformer_tpu.config import get_variant
     from sepreformer_tpu.models import SepReformer

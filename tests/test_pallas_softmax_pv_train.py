@@ -61,6 +61,38 @@ def test_gradients_match_reference(p):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("p", [0.0, 0.2])
+def test_two_tensor_bias_form_matches_reference(p):
+    """Unsummed (qk, bias) form incl. gradients — dScores doubles as the
+    bias cotangent (the add distributes it)."""
+    scores, v = _inputs(seed=4)
+    bias = jnp.asarray(
+        np.random.default_rng(5).normal(size=scores.shape), jnp.float32)
+    t, seed = 100, jnp.int32(11)
+    got = softmax_pv_dropout(scores, v, seed, None, t, p, True, bias)
+    ref = softmax_pv_dropout_reference(scores, v, seed, None, t, p, bias)
+    np.testing.assert_allclose(np.asarray(got[:, :t]),
+                               np.asarray(ref[:, :t]),
+                               rtol=2e-6, atol=2e-6)
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=(2, t, 64)), jnp.float32)
+    gk = jax.grad(
+        lambda s, vv, bb: jnp.sum(
+            softmax_pv_dropout(s, vv, seed, None, t, p, True, bb)[:, :t]
+            * g),
+        argnums=(0, 1, 2),
+    )(scores, v, bias)
+    gr = jax.grad(
+        lambda s, vv, bb: jnp.sum(
+            softmax_pv_dropout_reference(s, vv, seed, None, t, p,
+                                         bb)[:, :t] * g),
+        argnums=(0, 1, 2),
+    )(scores, v, bias)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_dropout_statistics_and_determinism():
     scores, v = _inputs(b=1, h=8, lp=256, seed=3)
     seed = jnp.int32(99)
