@@ -35,6 +35,14 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    def cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
+
+    cache_before = cache_entries()
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -229,6 +237,10 @@ def main() -> None:
         "infer_compile_s": round(compile_time, 2),
         "train_compile_s": round(train_compile_time, 2),
         "measurement": f"chained x{n_chain} (data-dependent fori_loop)",
+        # >0 new entries = this run compiled programs the committed
+        # .jax_cache lacked; 0 with large compile_s = the residual is
+        # cache-load/upload cost over the axon tunnel, not XLA compile
+        "cache_entries_added": cache_entries() - cache_before,
         "large": large_extras,
     }
     # MFU denominator: v5e peak is 197 TFLOP/s (bf16 MXU; f32 matmuls run
