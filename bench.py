@@ -43,6 +43,11 @@ def main() -> None:
 
     cache_before = cache_entries()
 
+    # MFU denominator for every row: v5e peak is 197 TFLOP/s (bf16 MXU;
+    # f32 matmuls run at bf16 default precision on this platform, so bf16
+    # peak is the speed-of-light for both dtypes)
+    PEAK_TFLOPS = 197.0
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -217,11 +222,11 @@ def main() -> None:
         if l_flops:
             large_extras["fwd_gflops"] = round(l_flops / 1e9, 1)
             large_extras["infer_mfu_pct"] = round(
-                l_flops / l_step / (197.0 * 1e12) * 100, 2)
+                l_flops / l_step / (PEAK_TFLOPS * 1e12) * 100, 2)
         if l_train_flops:
             large_extras["train_gflops"] = round(l_train_flops / 1e9, 1)
             large_extras["train_mfu_pct"] = round(
-                l_train_flops / l_train_step_s / (197.0 * 1e12) * 100, 2)
+                l_train_flops / l_train_step_s / (PEAK_TFLOPS * 1e12) * 100, 2)
     except Exception as e:  # the Large row must never sink the headline
         large_extras = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
@@ -243,10 +248,7 @@ def main() -> None:
         "cache_entries_added": cache_entries() - cache_before,
         "large": large_extras,
     }
-    # MFU denominator: v5e peak is 197 TFLOP/s (bf16 MXU; f32 matmuls run
-    # at bf16 default precision on this platform, so bf16 peak is the
-    # speed-of-light for both dtypes)
-    peak_tflops = 197.0
+    peak_tflops = PEAK_TFLOPS
     if flops:
         extras["fwd_gflops"] = round(flops / 1e9, 1)
         extras["achieved_tflops"] = round(flops / infer_step / 1e12, 2)

@@ -1,0 +1,100 @@
+"""On-chip A/B of the round-5 train-step levers on the full Base train
+step (bench.py chained method):
+
+- gcfn pipe:   software-pipelined train GCFN fwd/bwd kernels vs the
+               single-shot r4 kernels (gcfn_train.py pipe knob)
+- dw bwd mode: dx as an XLA flipped-kernel depthwise conv + dw-only tap
+               loop ("conv") vs the fused dx+dw tap loop ("fused")
+
+Configs: r4 = (pipe off, fused), each lever alone, both.  Legs alternate
+to average background contention.  Writes MEASURE_TRAIN_LEVERS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sepreformer_tpu.config import get_variant
+    from sepreformer_tpu.engine.train import create_train_state, make_train_step
+    import sepreformer_tpu.ops.pallas.gcfn as gcfn_mod
+    import sepreformer_tpu.ops.pallas.gcfn_train as gt_mod
+    import sepreformer_tpu.ops.pallas.depthwise as dw_mod
+
+    rng = np.random.default_rng(0)
+    variant = get_variant("SepReformer_Base_WSJ0")
+    batch, t = 4, 32000
+    x = jnp.asarray(rng.normal(scale=0.05, size=(batch, t)), jnp.float32)
+    src = jnp.stack([x * 0.5, x * 0.5])  # [spks, B, T]
+    state = create_train_state(variant, jax.random.key(0), sample_len=t)
+    orig_chunks = gcfn_mod.pipe_chunks
+
+    configs = {
+        "r4": (False, "fused"),
+        "pipe_only": (True, "fused"),
+        "dwconv_only": (False, "conv"),
+        "both": (True, "conv"),
+    }
+    chains = {}
+    compile_s = {}
+    for name, (pipe_on, dw_mode) in configs.items():
+        gcfn_mod.pipe_chunks = orig_chunks if pipe_on else (lambda bt: None)
+        dw_mod.BWD_MODE = dw_mode
+        jax.clear_caches()
+        train_step = make_train_step(variant, donate=False)
+        n_chain = 5
+
+        @jax.jit
+        def chain(state, x, src):
+            def body(i, state):
+                new_state, _ = train_step(
+                    state, x, src, jnp.float32(1e-4), jnp.float32(0.4),
+                    jax.random.key(1))
+                return new_state
+            final = jax.lax.fori_loop(0, n_chain, body, state)
+            return jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l.astype(jnp.float32)),
+                final.params, jnp.float32(0))
+
+        t0 = time.perf_counter()
+        float(chain(state, x, src))
+        compile_s[name] = round(time.perf_counter() - t0, 1)
+        chains[name] = chain
+        print(json.dumps({"compiled": name, "s": compile_s[name]}), flush=True)
+    gcfn_mod.pipe_chunks = orig_chunks
+    dw_mod.BWD_MODE = "conv"
+
+    times = {name: [] for name in configs}
+    for rep in range(3):
+        for name in configs:
+            t0 = time.perf_counter()
+            float(chains[name](state, x, src))
+            times[name].append((time.perf_counter() - t0) / 5 * 1e3)
+    results = {
+        name: {"step_ms_min": round(min(v), 2),
+               "step_ms_all": [round(a, 2) for a in v],
+               "compile_s": compile_s[name]}
+        for name, v in times.items()
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "MEASURE_TRAIN_LEVERS.json")
+    with open(path, "w") as fjson:
+        json.dump(results, fjson, indent=1)
+    print(json.dumps({"metric": "train_levers", "results": results}))
+
+
+if __name__ == "__main__":
+    main()

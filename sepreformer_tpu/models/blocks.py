@@ -195,11 +195,15 @@ def resolve_attention_train_impl(impl: str, length: int = 0) -> str:
     "pallas" kernel remains selectable; beyond its 512-length ceiling
     both kernels hand off to "xla"."""
     if impl == "auto":
-        from sepreformer_tpu.ops.pallas.attention_train import (
-            supported_length,
-        )
+        from sepreformer_tpu.ops.pallas import softmax_pv_train
 
-        if jax.default_backend() == "tpu" and supported_length(length):
+        # gate on the fused_pv train kernel's OWN padded-length ceiling
+        # (it pads L up to a 128 multiple in-kernel), not the old
+        # single-block kernel's — the two ceilings coincide today but are
+        # independent knobs (r4 advisor finding)
+        lp = ((length + 127) // 128) * 128 if length else 0
+        if (jax.default_backend() == "tpu"
+                and softmax_pv_train.supported_length(lp)):
             return "fused_pv"
         return "xla"
     return impl
@@ -602,6 +606,14 @@ class MultiHeadAttention(nn.Module):
         k = TorchLinear(self.dim, name="k")(y).reshape(b, t, h, d)
         v = TorchLinear(self.dim, name="v")(y).reshape(b, t, h, d)
 
+        def project_out(out):
+            # shared output branch: out-projection -> dropout -> LayerScale
+            # (one definition for every attention path — r4 advisor)
+            out = TorchLinear(self.dim, name="out")(out)
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+            return LayerScale(self.dim, self.layer_scale_init,
+                              name="layer_scale")(out)
+
         if train and pos is not None and key_lens is None:
             from sepreformer_tpu.ops.pallas.attention_train import (
                 supported_length,
@@ -639,11 +651,7 @@ class MultiHeadAttention(nn.Module):
                         t, float(self.dropout),
                         timpl == "fused_pv_interpret",
                     )[:, :t]
-                    out = TorchLinear(self.dim, name="out")(out)
-                    out = nn.Dropout(self.dropout,
-                                     deterministic=not train)(out)
-                    return LayerScale(self.dim, self.layer_scale_init,
-                                      name="layer_scale")(out)
+                    return project_out(out)
             if timpl in ("pallas", "pallas_interpret") and supported_length(t):
                 from sepreformer_tpu.ops.pallas.attention_train import (
                     flash_relpos_attention_train,
@@ -664,10 +672,7 @@ class MultiHeadAttention(nn.Module):
                     timpl == "pallas_interpret",
                 )
                 out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
-                out = TorchLinear(self.dim, name="out")(out)
-                out = nn.Dropout(self.dropout, deterministic=not train)(out)
-                return LayerScale(self.dim, self.layer_scale_init,
-                                  name="layer_scale")(out)
+                return project_out(out)
 
         impl = (
             resolve_attention_impl(pos.impl, t) if pos is not None else "xla"
@@ -702,10 +707,7 @@ class MultiHeadAttention(nn.Module):
                 impl == "single_interpret", key_lens,
             )
             out = out.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
-            out = TorchLinear(self.dim, name="out")(out)
-            out = nn.Dropout(self.dropout, deterministic=not train)(out)
-            return LayerScale(self.dim, self.layer_scale_init,
-                              name="layer_scale")(out)
+            return project_out(out)
         # the inference Pallas kernel has no attention-prob dropout; use it
         # only for deterministic passes or dropout-free models.  Key masks
         # (masked batched eval / padded long utterances) are applied
@@ -752,10 +754,7 @@ class MultiHeadAttention(nn.Module):
                     scores, vp.reshape(b, lp, self.dim), key_lens, t,
                     impl == "fused_pv_interpret",
                 )[:, :t]
-                out = TorchLinear(self.dim, name="out")(out)
-                out = nn.Dropout(self.dropout, deterministic=not train)(out)
-                return LayerScale(self.dim, self.layer_scale_init,
-                                  name="layer_scale")(out)
+                return project_out(out)
             scores = jnp.einsum(
                 "bihd,bjhd->bhij", dot_operand(q), dot_operand(k),
                 preferred_element_type=jnp.float32,
@@ -794,9 +793,7 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum(
                 "bhij,bjhd->bihd", attn, v, preferred_element_type=x.dtype
             ).reshape(b, t, self.dim)
-        out = TorchLinear(self.dim, name="out")(out)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        return LayerScale(self.dim, self.layer_scale_init, name="layer_scale")(out)
+        return project_out(out)
 
     def _speaker_axis_attention(self, x, *, train: bool):
         """x: [B, S, T, F] -> attention over S, numerically identical to

@@ -64,6 +64,28 @@ def _fwd_kernel(xh_ref, w_ref, b_ref, out_ref, *, k: int, bt: int):
     out_ref[0] = (acc + b_ref[0]).astype(out_ref.dtype)
 
 
+def _bwd_w_kernel(xh_ref, dy_ref, dw_ref, db_ref, *, k: int, bt: int):
+    """Weight/bias-grad-only tap loop (dx is computed outside as an XLA
+    depthwise conv of dy with the flipped kernel, which rides the MXU
+    conv lowering — see depthwise_large's vjp)."""
+    step = pl.program_id(1) * pl.num_programs(2) + pl.program_id(2)
+    dy = dy_ref[0].astype(jnp.float32)
+
+    @pl.when(step == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    def tap_body(tap, _):
+        # dw[tap] = sum_t x[t + tap - pad] * dy[t]
+        xwin = xh_ref[0, 0, pl.ds(tap, bt), :].astype(jnp.float32)
+        dw_ref[pl.ds(tap, 1), :] += jnp.sum(xwin * dy, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, k, tap_body, 0)
+    db_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+
+
 def _bwd_kernel(
     xh_ref, dyh_ref, dy_ref, w_ref, dx_ref, dw_ref, db_ref,
     *, k: int, bt: int,
@@ -168,6 +190,42 @@ def _impl_bwd(x, w, dy, interpret: bool = False):
     return dx, dw, db.reshape(c)
 
 
+def _impl_bwd_w(x, dy, k: int, interpret: bool = False):
+    """dw/db only (tap-loop kernel); dx is handled by the caller."""
+    bsz, t, c = x.shape
+    halo = (k - 1) // 2
+    bt = pick_time_block(t)
+    nt = t // bt
+    cb = c // CHANNEL_BLOCK
+    xh = _halo_windows(x, bt, halo)
+    kernel = functools.partial(_bwd_w_kernel, k=k, bt=bt)
+    win = bt + 2 * halo
+    dw, db = pl.pallas_call(
+        kernel,
+        grid=(cb, bsz, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, win, CHANNEL_BLOCK),
+                         lambda ci, bi, ti: (bi, ti, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, CHANNEL_BLOCK),
+                         lambda ci, bi, ti: (bi, ti, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, CHANNEL_BLOCK), lambda ci, bi, ti: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHANNEL_BLOCK), lambda ci, bi, ti: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xh, dy)
+    return dw, db.reshape(c)
+
+
 def depthwise_reference(x, w, b):
     """XLA reference: 'same' depthwise conv, channels-last.  w: [k, C]."""
     c = x.shape[-1]
@@ -190,13 +248,34 @@ def _vjp_fwd(x, w, b, interpret):
     return depthwise_reference(x, w, b), (x, w)
 
 
+# "conv" computes dx as an XLA depthwise conv of dy with the flipped
+# kernel (MXU lowering, same one that makes the forward fast) and keeps
+# only dw/db in the Pallas tap-loop — half the VPU work.  "fused" is the
+# original single-kernel dx+dw tap loop, kept for A/B.
+BWD_MODE = "conv"
+
+
 def _vjp_bwd(interpret, res, g):
     x, w = res
-    # the tap-loop kernel does unaligned sublane loads, which Mosaic only
-    # allows on unpacked (32-bit) layouts — run the bwd in f32 for bf16
-    # streams (it computes f32 internally regardless)
-    dx, dw, db = _impl_bwd(x.astype(jnp.float32), w.astype(jnp.float32),
-                           g.astype(jnp.float32), interpret)
+    if BWD_MODE == "conv":
+        c = x.shape[-1]
+        # dx[t] = sum_tap w[tap] * dy[t + pad - tap] — a 'same' depthwise
+        # conv of dy with the time-flipped kernel (k odd ⇒ symmetric pad);
+        # XLA lowers this to the MXU near SoL (~210 µs at [4, 8000, 128])
+        # where the tap-loop kernel runs 65 shifted VPU multiply-adds
+        dx = jax.lax.conv_general_dilated(
+            g, jnp.flip(w, 0).astype(g.dtype)[:, None, :],
+            window_strides=(1,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c,
+            preferred_element_type=jnp.float32,
+        )
+        # the tap-loop kernel does unaligned sublane loads, which Mosaic
+        # only allows on unpacked (32-bit) layouts — f32 in for bf16 streams
+        dw, db = _impl_bwd_w(x.astype(jnp.float32), g.astype(jnp.float32),
+                             w.shape[0], interpret)
+    else:
+        dx, dw, db = _impl_bwd(x.astype(jnp.float32), w.astype(jnp.float32),
+                               g.astype(jnp.float32), interpret)
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(w.dtype)
 
 

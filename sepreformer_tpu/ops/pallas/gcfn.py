@@ -34,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_BLOCK = 512
 MIN_BLOCK = 64
+# target rows per software-pipeline sub-chunk (see _gcfn_pipe_core)
+SUB_ROWS = 128
 
 
 def matmul_dtype(x_dtype) -> jnp.dtype:
@@ -76,6 +78,117 @@ def pick_block(t: int) -> int:
         if t % bt == 0:
             return bt
     return 0
+
+
+def pipe_chunks(bt: int):
+    """Static (start, size) sub-chunks covering [0, bt) for the pipelined
+    kernel: ~SUB_ROWS rows each, sizes a multiple of 8 where possible
+    (sublane tiling), at least 2 chunks — or None when the block is too
+    small to pipeline (single-shot kernel is then used)."""
+    if bt < 2 * MIN_BLOCK:
+        return None
+    k = max(2, -(-bt // SUB_ROWS))
+    base = -(-bt // k)
+    base = -(-base // 8) * 8
+    chunks = []
+    s = 0
+    while s < bt:
+        z = min(base, bt - s)
+        chunks.append((s, z))
+        s += z
+    if len(chunks) < 2:
+        return None
+    return tuple(chunks)
+
+
+def _gcfn_pipe_kernel_masked(
+    x_ref, xb_ref, mask_ref, maskb_ref, lns_ref, lnb_ref, win_ref, bin_ref,
+    wdw_ref, bdw_ref, wout_ref, bout_ref, ls_ref, out_ref, *, eps: float,
+    hidden: int, bt: int, nt: int, chunks,
+):
+    _gcfn_pipe_core(x_ref, xb_ref, mask_ref, maskb_ref, lns_ref, lnb_ref,
+                    win_ref, bin_ref, wdw_ref, bdw_ref, wout_ref, bout_ref,
+                    ls_ref, out_ref, eps=eps, hidden=hidden, bt=bt, nt=nt,
+                    chunks=chunks)
+
+
+def _gcfn_pipe_kernel(
+    x_ref, xb_ref, lns_ref, lnb_ref, win_ref, bin_ref,
+    wdw_ref, bdw_ref, wout_ref, bout_ref, ls_ref, out_ref, *, eps: float,
+    hidden: int, bt: int, nt: int, chunks,
+):
+    _gcfn_pipe_core(x_ref, xb_ref, None, None, lns_ref, lnb_ref,
+                    win_ref, bin_ref, wdw_ref, bdw_ref, wout_ref, bout_ref,
+                    ls_ref, out_ref, eps=eps, hidden=hidden, bt=bt, nt=nt,
+                    chunks=chunks)
+
+
+def _gcfn_pipe_core(
+    x_ref, xb_ref, mask_ref, maskb_ref, lns_ref, lnb_ref, win_ref, bin_ref,
+    wdw_ref, bdw_ref, wout_ref, bout_ref, ls_ref, out_ref, *, eps: float,
+    hidden: int, bt: int, nt: int, chunks,
+):
+    """Software-pipelined GCFN block: the time-block is processed in
+    sub-chunks with a one-stage lookahead.  Each sub-chunk's LN + up-
+    projection computes its own ±1-row u halo, so the depthwise k3 of
+    chunk j depends only on u already produced one iteration earlier —
+    the loop issues chunk j+1's MXU dot before chunk j's VPU dw3/GLU
+    chain, and Mosaic can overlap the two units instead of serializing
+    them (the measured 2×-over-floor gap of the single-shot kernel).
+    Redundancy cost: 2 extra projected rows per chunk (~1.6% at 128).
+    """
+    bi = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)            # [BT, F]
+    xb = xb_ref[0, 0].astype(jnp.float32)       # [2, F]
+    xa = jnp.concatenate([xb[0:1], x, xb[1:2]], axis=0)  # [BT+2, F]
+    not_first = (bi > 0).astype(jnp.float32)
+    not_last = (bi < nt - 1).astype(jnp.float32)
+    am = None
+    if mask_ref is not None:
+        maskb = maskb_ref[0, 0]                 # [2, 1]
+        am = jnp.concatenate(
+            [maskb[0:1] * not_first, mask_ref[0], maskb[1:2] * not_last],
+            axis=0,
+        )                                       # [BT+2, 1]
+    half = hidden // 2
+    lns = lns_ref[0]
+    lnb = lnb_ref[0]
+    w0 = wdw_ref[0]
+    w1 = wdw_ref[1]
+    w2 = wdw_ref[2]
+    nck = len(chunks)
+
+    def ln_proj(j):
+        s, z = chunks[j]
+        xs = xa[s:s + z + 2]
+        mean = jnp.mean(xs, axis=1, keepdims=True)
+        c = xs - mean
+        var = jnp.mean(c * c, axis=1, keepdims=True)
+        xn = (c * jax.lax.rsqrt(var + eps)) * lns + lnb
+        u = jnp.dot(xn.astype(win_ref.dtype), win_ref[:],
+                    preferred_element_type=jnp.float32) + bin_ref[0]
+        if am is not None:
+            u = u * am[s:s + z + 2]
+        else:
+            # sequence-edge u rows contribute zeros (torch zero-pads
+            # u-space); only the outermost halo rows are affected
+            if j == 0:
+                u = jnp.concatenate([u[0:1] * not_first, u[1:]], axis=0)
+            if j == nck - 1:
+                u = jnp.concatenate([u[:-1], u[-1:] * not_last], axis=0)
+        return u
+
+    u_cur = ln_proj(0)
+    for j in range(nck):
+        u_nxt = ln_proj(j + 1) if j + 1 < nck else None
+        s, z = chunks[j]
+        y = (u_cur[0:z] * w0 + u_cur[1:z + 1] * w1 + u_cur[2:z + 2] * w2
+             + bdw_ref[0])
+        g = y[:, :half] * jax.nn.sigmoid(y[:, half:])
+        o = jnp.dot(g.astype(wout_ref.dtype), wout_ref[:],
+                    preferred_element_type=jnp.float32) + bout_ref[0]
+        out_ref[0, s:s + z] = (x[s:s + z] + ls_ref[0] * o).astype(out_ref.dtype)
+        u_cur = u_nxt
 
 
 def _gcfn_kernel_masked(
@@ -165,9 +278,10 @@ def gcfn_reference(x, params, eps: float, mask=None):
     return x + ls * (jnp.einsum("bth,hf->btf", g, wout) + bout)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "mxu"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "interpret", "mxu", "pipe"))
 def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
-                     mask=None, mxu: str = "auto"):
+                     mask=None, mxu: str = "auto", pipe: str = "auto"):
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
@@ -228,10 +342,17 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
     ]
     operands += [row2d(lns), row2d(lnb), win, row2d(bin_), wdw, row2d(bdw),
                  wout, row2d(bout), row2d(ls)]
-    kernel = functools.partial(
-        _gcfn_kernel if mask is None else _gcfn_kernel_masked,
-        eps=eps, hidden=hidden, bt=bt, nt=nt,
-    )
+    chunks = pipe_chunks(bt) if pipe != "off" else None
+    if chunks is not None:
+        kernel = functools.partial(
+            _gcfn_pipe_kernel if mask is None else _gcfn_pipe_kernel_masked,
+            eps=eps, hidden=hidden, bt=bt, nt=nt, chunks=chunks,
+        )
+    else:
+        kernel = functools.partial(
+            _gcfn_kernel if mask is None else _gcfn_kernel_masked,
+            eps=eps, hidden=hidden, bt=bt, nt=nt,
+        )
     out = pl.pallas_call(
         kernel,
         grid=(b, nt),
@@ -244,22 +365,24 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 5, 6))
 def fused_gcfn(x, params, eps: float, interpret: bool = False, mask=None,
-               mxu: str = "auto"):
+               mxu: str = "auto", pipe: str = "auto"):
     """Fused GCFN with XLA-reference gradients (recompute).  ``mask``
     [B, T, 1] 0/1 (optional) zeroes post-proj_in rows beyond each row's
     true length — masked exact-eval.  ``mxu`` selects the in-kernel MXU
-    operand dtype for f32 streams (resolve_mxu)."""
-    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask, mxu=mxu)
+    operand dtype for f32 streams (resolve_mxu); ``pipe`` "off" forces
+    the single-shot kernel (A/B vs the software-pipelined one)."""
+    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask, mxu=mxu,
+                            pipe=pipe)
 
 
-def _fwd(x, params, eps, interpret, mask=None, mxu="auto"):
-    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask, mxu=mxu), (
-        x, params, mask)
+def _fwd(x, params, eps, interpret, mask=None, mxu="auto", pipe="auto"):
+    return _fused_gcfn_impl(x, params, eps, interpret, mask=mask, mxu=mxu,
+                            pipe=pipe), (x, params, mask)
 
 
-def _bwd(eps, interpret, mxu, res, g):
+def _bwd(eps, interpret, mxu, pipe, res, g):
     x, params, mask = res
     _, vjp = jax.vjp(lambda x, p: gcfn_reference(x, p, eps, mask), x, params)
     mask_ct = None if mask is None else jnp.zeros_like(mask)

@@ -35,6 +35,7 @@ from sepreformer_tpu.ops.pallas.gcfn import (
     MIN_BLOCK,
     matmul_dtype,
     pick_block,
+    pipe_chunks,
 )
 
 # the backward kernel peaks at ~6.6 live [bt, hidden] f32 arrays (measured:
@@ -151,6 +152,224 @@ def _fwd_train_kernel(
     rows_f, cols_f = _rows_cols(b, bi, t, bt, bt, o0.shape[1])
     o = o0 * keep_mask(seed, 1, rows_f, cols_f, p) / (1.0 - p)
     out_ref[0] = (x + ls_ref[0] * o).astype(out_ref.dtype)
+
+
+def _fwd_train_pipe_kernel(
+    seed_ref, x_ref, xb_ref, lns_ref, lnb_ref, win_ref, bin_ref, wdw_ref,
+    bdw_ref, wout_ref, bout_ref, ls_ref, out_ref,
+    *, eps: float, hidden: int, bt: int, nt: int, t: int, p: float, chunks,
+):
+    """Software-pipelined train forward: sub-chunks with a one-stage
+    lookahead so chunk j+1's up-projection MXU dot overlaps chunk j's
+    VPU dw3/GLU/dropout chain (same structure as gcfn._gcfn_pipe_core,
+    plus the two stateless-hash dropout sites)."""
+    b = pl.program_id(0)
+    bi = pl.program_id(1)
+    seed = seed_ref[0, 0]
+    half = hidden // 2
+    keep_scale = 1.0 / (1.0 - p)
+    x = x_ref[0].astype(jnp.float32)            # [BT, F]
+    xb = xb_ref[0, 0].astype(jnp.float32)       # [2, F]
+    xa = jnp.concatenate([xb[0:1], x, xb[1:2]], axis=0)  # [BT+2, F]
+    not_first = (bi > 0).astype(jnp.float32)
+    not_last = (bi < nt - 1).astype(jnp.float32)
+    lns = lns_ref[0]
+    lnb = lnb_ref[0]
+    w0 = wdw_ref[0]
+    w1 = wdw_ref[1]
+    w2 = wdw_ref[2]
+    nck = len(chunks)
+    row0 = b * t + bi * bt
+
+    def ln_proj(j):
+        s, z = chunks[j]
+        xs = xa[s:s + z + 2]
+        mean = jnp.mean(xs, axis=1, keepdims=True)
+        c = xs - mean
+        var = jnp.mean(c * c, axis=1, keepdims=True)
+        xn = (c * jax.lax.rsqrt(var + eps)) * lns + lnb
+        u = jnp.dot(xn.astype(win_ref.dtype), win_ref[:],
+                    preferred_element_type=jnp.float32) + bin_ref[0]
+        if j == 0:
+            u = jnp.concatenate([u[0:1] * not_first, u[1:]], axis=0)
+        if j == nck - 1:
+            u = jnp.concatenate([u[:-1], u[-1:] * not_last], axis=0)
+        return u
+
+    u_cur = ln_proj(0)
+    for j in range(nck):
+        u_nxt = ln_proj(j + 1) if j + 1 < nck else None
+        s, z = chunks[j]
+        y = (u_cur[0:z] * w0 + u_cur[1:z + 1] * w1 + u_cur[2:z + 2] * w2
+             + bdw_ref[0])
+        g0 = y[:, :half] * jax.nn.sigmoid(y[:, half:])
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (z, half), 0)
+                + (row0 + s))
+        cols = jax.lax.broadcasted_iota(jnp.int32, (z, half), 1)
+        g = g0 * keep_mask(seed, 0, rows, cols, p) * keep_scale
+        o0 = jnp.dot(g.astype(wout_ref.dtype), wout_ref[:],
+                     preferred_element_type=jnp.float32) + bout_ref[0]
+        f_dim = o0.shape[1]
+        rows_f = (jax.lax.broadcasted_iota(jnp.int32, (z, f_dim), 0)
+                  + (row0 + s))
+        cols_f = jax.lax.broadcasted_iota(jnp.int32, (z, f_dim), 1)
+        o = o0 * keep_mask(seed, 1, rows_f, cols_f, p) * keep_scale
+        out_ref[0, s:s + z] = (x[s:s + z] + ls_ref[0] * o).astype(out_ref.dtype)
+        u_cur = u_nxt
+
+
+def _bwd_train_pipe_kernel(
+    seed_ref, x_ref, xb4_ref, dout_ref, doutb_ref,
+    lns_ref, lnb_ref, win_ref, bin_ref, wdw_ref, bdw_ref, wout_ref,
+    bout_ref, ls_ref,
+    dx_ref, dlns_ref, dlnb_ref, dwin_ref, dbin_ref, dwdw_ref, dbdw_ref,
+    dwout_ref, dbout_ref, dls_ref,
+    *, eps: float, hidden: int, bt: int, nt: int, t: int, p: float, chunks,
+):
+    """Software-pipelined train backward.
+
+    Each sub-chunk recomputes its own u halo (±2 rows) and dy halo
+    (±1 row) from the chunk's LN+projection, which both removes the
+    single-shot kernel's special-cased ``edge_dy`` rows and gives the
+    one-stage lookahead: chunk j+1's up-projection dot is issued before
+    chunk j's VPU-heavy backward chain (glu fwd+bwd, hash masks, du,
+    LN backward), so the MXU and VPU overlap.  Param grads accumulate
+    into the output refs (VMEM-resident across the sequential grid).
+    """
+    b = pl.program_id(0)
+    bi = pl.program_id(1)
+    step = b * nt + bi
+    seed = seed_ref[0, 0]
+    half = hidden // 2
+    keep_scale = 1.0 / (1.0 - p)
+
+    @pl.when(step == 0)
+    def _init():
+        dlns_ref[:] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+        dwin_ref[:] = jnp.zeros_like(dwin_ref)
+        dbin_ref[:] = jnp.zeros_like(dbin_ref)
+        dwdw_ref[:] = jnp.zeros_like(dwdw_ref)
+        dbdw_ref[:] = jnp.zeros_like(dbdw_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        dbout_ref[:] = jnp.zeros_like(dbout_ref)
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+
+    lns = lns_ref[0]
+    lnb = lnb_ref[0]
+    win = win_ref[:]
+    w0 = wdw_ref[0]
+    w1 = wdw_ref[1]
+    w2 = wdw_ref[2]
+    wout = wout_ref[:]
+    ls = ls_ref[0]
+    mm = wout.dtype
+    not_first = (bi > 0).astype(jnp.float32)
+    not_last = (bi < nt - 1).astype(jnp.float32)
+
+    x = x_ref[0].astype(jnp.float32)                  # [BT, F]
+    xb4 = xb4_ref[0, 0].astype(jnp.float32)           # rows -2,-1,BT,BT+1
+    # xa4 row k holds LN-input row k-2 (block-relative)
+    xa4 = jnp.concatenate([xb4[0:2], x, xb4[2:4]], axis=0)  # [BT+4, F]
+    dout = dout_ref[0].astype(jnp.float32)            # [BT, F]
+    doutb = doutb_ref[0, 0].astype(jnp.float32)       # rows -1, BT
+    # da row k holds dout row k-1 (block-relative)
+    da = jnp.concatenate([doutb[0:1], dout, doutb[1:2]], axis=0)
+    f_dim = x.shape[1]
+    nck = len(chunks)
+    row0 = b * t + bi * bt
+
+    def ln_proj(j):
+        # u rows [s-2, s+z+2) plus the LN stats of the main rows
+        s, z = chunks[j]
+        xs = xa4[s:s + z + 4]
+        mean = jnp.mean(xs, axis=1, keepdims=True)
+        c = xs - mean
+        var = jnp.mean(c * c, axis=1, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps)
+        xh = c * inv
+        xn = xh * lns + lnb
+        u = jnp.dot(xn.astype(win.dtype), win,
+                    preferred_element_type=jnp.float32) + bin_ref[0]
+        # sequence-edge u rows are zeros (torch zero-pads u-space)
+        if j == 0:
+            u = jnp.concatenate([u[0:2] * not_first, u[2:]], axis=0)
+        if j == nck - 1:
+            u = jnp.concatenate([u[:-2], u[-2:] * not_last], axis=0)
+        return u, xn, xh, inv
+
+    cur = ln_proj(0)
+    for j in range(nck):
+        nxt = ln_proj(j + 1) if j + 1 < nck else None
+        s, z = chunks[j]
+        u_c, xn_c, xh_c, inv_c = cur        # u_c[i] = u row s-2+i, [z+4, H]
+        # ---- forward recompute: y/g over rows [s-1, s+z) + halo row s+z
+        y_c = (u_c[0:z + 2] * w0 + u_c[1:z + 3] * w1 + u_c[2:z + 4] * w2
+               + bdw_ref[0])                # y_c[i] = y row s-1+i, [z+2, 6F]
+        g0_c = y_c[:, :half] * jax.nn.sigmoid(y_c[:, half:])
+        rows_h = (jax.lax.broadcasted_iota(jnp.int32, (z + 2, half), 0)
+                  + (row0 + s - 1))
+        cols_h = jax.lax.broadcasted_iota(jnp.int32, (z + 2, half), 1)
+        m0 = keep_mask(seed, 0, rows_h, cols_h, p)
+        g_c = g0_c * m0 * keep_scale
+        # ---- backward
+        rows_f = (jax.lax.broadcasted_iota(jnp.int32, (z + 2, f_dim), 0)
+                  + (row0 + s - 1))
+        cols_f = jax.lax.broadcasted_iota(jnp.int32, (z + 2, f_dim), 1)
+        m1 = keep_mask(seed, 1, rows_f, cols_f, p)
+        do0_c = da[s:s + z + 2] * ls * m1 * keep_scale  # rows s-1..s+z
+        dg = jax.lax.dot_general(
+            do0_c.astype(mm), wout, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dg0 = dg * m0 * keep_scale
+        dy_c = _glu_bwd(dg0, y_c, half)     # dy_c[i] = dy row s-1+i
+        # dy at the conv pad rows (global -1 / T) does not exist — zero it
+        if j == 0:
+            dy_c = jnp.concatenate([dy_c[0:1] * not_first, dy_c[1:]], axis=0)
+        if j == nck - 1:
+            dy_c = jnp.concatenate([dy_c[:-1], dy_c[-1:] * not_last], axis=0)
+        dy_main = dy_c[1:z + 1]
+        # fwd out rows (main only) for dls; one more MXU dot
+        o0 = jnp.dot(g_c[1:z + 1].astype(mm), wout,
+                     preferred_element_type=jnp.float32) + bout_ref[0]
+        o = o0 * m1[1:z + 1] * keep_scale
+        dls_ref[:] += jnp.sum(dout[s:s + z] * o, axis=0, keepdims=True)
+        do0_main = do0_c[1:z + 1]
+        dbout_ref[:] += jnp.sum(do0_main, axis=0, keepdims=True)
+        dwout_ref[:] += jax.lax.dot_general(
+            g_c[1:z + 1].astype(mm), do0_main.astype(mm),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dbdw_ref[:] += jnp.sum(dy_main, axis=0, keepdims=True)
+        # conv weight grads over main rows: dwdw[tap] = sum dy[r]*u[r+tap-1]
+        dwdw_ref[0:1, :] += jnp.sum(dy_main * u_c[1:z + 1], axis=0,
+                                    keepdims=True)
+        dwdw_ref[1:2, :] += jnp.sum(dy_main * u_c[2:z + 2], axis=0,
+                                    keepdims=True)
+        dwdw_ref[2:3, :] += jnp.sum(dy_main * u_c[3:z + 3], axis=0,
+                                    keepdims=True)
+        # conv input grad: du[r] = dy[r+1]*w0 + dy[r]*w1 + dy[r-1]*w2
+        du = dy_c[2:z + 2] * w0 + dy_c[1:z + 1] * w1 + dy_c[0:z] * w2
+        dbin_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+        xn_main = xn_c[2:z + 2]
+        dwin_ref[:] += jax.lax.dot_general(
+            xn_main.astype(mm), du.astype(mm), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dxn = jax.lax.dot_general(
+            du.astype(mm), win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xh_main = xh_c[2:z + 2]
+        dlns_ref[:] += jnp.sum(dxn * xh_main, axis=0, keepdims=True)
+        dlnb_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
+        dxh = dxn * lns
+        mean_dxh = jnp.mean(dxh, axis=1, keepdims=True)
+        mean_dxh_xh = jnp.mean(dxh * xh_main, axis=1, keepdims=True)
+        dx_ln = (dxh - mean_dxh - xh_main * mean_dxh_xh) * inv_c[2:z + 2]
+        dx_ref[0, s:s + z] = (dout[s:s + z] + dx_ln).astype(dx_ref.dtype)
+        cur = nxt
 
 
 def _recompute_rows(x_rows, row_ids, lns, lnb, win, bin_, eps):
@@ -325,9 +544,10 @@ def _boundary_rows(x, bt, offsets):
     return jnp.take(xp, np.asarray(idx, np.int32), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "p", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "p", "interpret", "pipe"))
 def _fwd_train_impl(x, params, seed, eps: float, p: float,
-                    interpret: bool = False):
+                    interpret: bool = False, pipe: str = "auto"):
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
@@ -343,9 +563,16 @@ def _fwd_train_impl(x, params, seed, eps: float, p: float,
     def row2d(a):
         return a.reshape(1, -1)
 
-    kernel = functools.partial(
-        _fwd_train_kernel, eps=eps, hidden=hidden, bt=bt, nt=nt, t=t, p=p
-    )
+    chunks = pipe_chunks(bt) if pipe != "off" else None
+    if chunks is not None:
+        kernel = functools.partial(
+            _fwd_train_pipe_kernel, eps=eps, hidden=hidden, bt=bt, nt=nt,
+            t=t, p=p, chunks=chunks,
+        )
+    else:
+        kernel = functools.partial(
+            _fwd_train_kernel, eps=eps, hidden=hidden, bt=bt, nt=nt, t=t, p=p
+        )
     return pl.pallas_call(
         kernel,
         grid=(b, nt),
@@ -367,9 +594,10 @@ def _fwd_train_impl(x, params, seed, eps: float, p: float,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "p", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "p", "interpret", "pipe"))
 def _bwd_train_impl(x, params, seed, dout, eps: float, p: float,
-                    interpret: bool = False):
+                    interpret: bool = False, pipe: str = "auto"):
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
@@ -385,9 +613,16 @@ def _bwd_train_impl(x, params, seed, dout, eps: float, p: float,
     def row2d(a):
         return a.reshape(1, -1)
 
-    kernel = functools.partial(
-        _bwd_train_kernel, eps=eps, hidden=hidden, bt=bt, nt=nt, t=t, p=p
-    )
+    chunks = pipe_chunks(bt) if pipe != "off" else None
+    if chunks is not None:
+        kernel = functools.partial(
+            _bwd_train_pipe_kernel, eps=eps, hidden=hidden, bt=bt, nt=nt,
+            t=t, p=p, chunks=chunks,
+        )
+    else:
+        kernel = functools.partial(
+            _bwd_train_kernel, eps=eps, hidden=hidden, bt=bt, nt=nt, t=t, p=p
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(b, nt),
@@ -434,22 +669,23 @@ def _bwd_train_impl(x, params, seed, dout, eps: float, p: float,
     return dx, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_gcfn_train(x, params, seed, eps: float, p: float,
-                     interpret: bool = False):
-    """GCFN with hash dropout: fused forward + fused backward."""
-    return _fwd_train_impl(x, params, seed, eps, p, interpret)
+                     interpret: bool = False, pipe: str = "auto"):
+    """GCFN with hash dropout: fused forward + fused backward.  ``pipe``
+    "off" forces the single-shot kernels (A/B vs the pipelined ones)."""
+    return _fwd_train_impl(x, params, seed, eps, p, interpret, pipe)
 
 
-def _vjp_fwd(x, params, seed, eps, p, interpret):
-    return _fwd_train_impl(x, params, seed, eps, p, interpret), (
+def _vjp_fwd(x, params, seed, eps, p, interpret, pipe="auto"):
+    return _fwd_train_impl(x, params, seed, eps, p, interpret, pipe), (
         x, params, seed,
     )
 
 
-def _vjp_bwd(eps, p, interpret, res, g):
+def _vjp_bwd(eps, p, interpret, pipe, res, g):
     x, params, seed = res
-    dx, dparams = _bwd_train_impl(x, params, seed, g, eps, p, interpret)
+    dx, dparams = _bwd_train_impl(x, params, seed, g, eps, p, interpret, pipe)
     dparams = tuple(dp.astype(pp.dtype) for dp, pp in zip(dparams, params))
     return dx, dparams, None
 

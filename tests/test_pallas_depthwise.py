@@ -55,3 +55,20 @@ def test_gradients_match_reference(rng):
     for a, r in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_gradients_match_reference_fused_mode(rng, monkeypatch):
+    """The original single-kernel dx+dw tap loop (BWD_MODE='fused')."""
+    import sepreformer_tpu.ops.pallas.depthwise as dw_mod
+    monkeypatch.setattr(dw_mod, "BWD_MODE", "fused")
+    b, t, c, k = 1, 256, 128, 65
+    x = jnp.asarray(rng.normal(size=(b, t, c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(k, c)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    gk = jax.grad(lambda *a: jnp.sum(depthwise_large(*a, True) ** 2),
+                  argnums=(0, 1, 2))(x, w, bias)
+    gr = jax.grad(lambda *a: jnp.sum(depthwise_reference(*a) ** 2),
+                  argnums=(0, 1, 2))(x, w, bias)
+    for a, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)

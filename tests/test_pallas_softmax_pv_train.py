@@ -160,3 +160,42 @@ def test_train_step_through_fused_pv_matches_xla_path():
     _, m_d = make_train_step(drop, donate=False)(
         state_d, x, s, lr, alpha, key)
     assert np.isfinite(float(m_d["total_loss"]))
+
+
+def test_gradients_bf16_stream(rng=None):
+    """bf16 scores/v (the Large policy): the bwd emits bf16-truncated
+    cotangents by design (softmax_pv_train._bwd_impl casts to the storage
+    dtypes before accumulation) — compare against an f32 reference with
+    bf16-appropriate tolerances (r4 advisor: bf16 train-gradient quality
+    was unvalidated)."""
+    nprng = np.random.default_rng(11)
+    b, h, lp, d = 2, 4, 128, 16
+    scores32 = jnp.asarray(nprng.normal(size=(b, h, lp, lp)), jnp.float32)
+    v32 = jnp.asarray(nprng.normal(size=(b, lp, h * d)), jnp.float32)
+    scores = scores32.astype(jnp.bfloat16)
+    v = v32.astype(jnp.bfloat16)
+    t, seed, p = 100, jnp.int32(5), 0.2
+    g = jnp.asarray(nprng.normal(size=(b, t, h * d)), jnp.float32)
+
+    ds, dv = jax.grad(
+        lambda s, vv: jnp.sum(
+            softmax_pv_dropout(s, vv, seed, None, t, p, True).astype(
+                jnp.float32)[:, :t] * g),
+        argnums=(0, 1),
+    )(scores, v)
+    # reference runs the same truncated inputs in f32 end-to-end
+    ds_r, dv_r = jax.grad(
+        lambda s, vv: jnp.sum(
+            softmax_pv_dropout_reference(
+                s.astype(jnp.float32), vv.astype(jnp.float32), seed, None,
+                t, p)[:, :t] * g),
+        argnums=(0, 1),
+    )(scores, v)
+    assert ds.dtype == scores.dtype and dv.dtype == v.dtype
+    # bf16 has ~3 decimal digits; dominant error is the bf16 cotangent cast
+    np.testing.assert_allclose(np.asarray(ds, np.float32),
+                               np.asarray(ds_r, np.float32),
+                               rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(dv, np.float32),
+                               np.asarray(dv_r, np.float32),
+                               rtol=0.05, atol=0.02)
