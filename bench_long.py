@@ -103,7 +103,21 @@ def main():
                     "audio_s_per_s": round(seconds / step, 1),
                 }
             except Exception as e:
-                results[key] = {"error": f"{type(e).__name__}: {str(e)[:150]}"}
+                # classify instead of dumping raw transport errors into the
+                # table (r4 shipped HTTP-500 strings as load-bearing cells)
+                msg = str(e)
+                if ("tpu_compile_helper" in msg or "INTERNAL" in msg
+                        or "500" in msg):
+                    status = "compile_failed_server_side"
+                elif "RESOURCE_EXHAUSTED" in msg or "vmem" in msg.lower():
+                    status = "out_of_memory"
+                else:
+                    status = "failed"
+                results[key] = {
+                    "status": status,
+                    "error_type": type(e).__name__,
+                    "note": msg.splitlines()[0][:120] if msg else "",
+                }
             print(key, results[key], flush=True)
     print(json.dumps(results))
 

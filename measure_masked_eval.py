@@ -115,6 +115,45 @@ def main() -> None:
         }
         print(f"b={b}", results[f"masked_eval_b{b}"], flush=True)
 
+    # ---- 3. loader-realistic batches (r4 verdict 5: the 20% "padding
+    # tax" above is an artifact of this harness's single 32000 bucket;
+    # the production loader sorts by length and pads each batch to its
+    # OWN max rounded up to eval_bucket=4000 samples — measure that) ----
+    order = np.argsort(-lens_all)
+    bsz = 4
+    total_s = 0.0
+    total_audio = 0.0
+    batches = []
+    for i in range(0, len(order), bsz):
+        idx = order[i:i + bsz]
+        pad_to = int(-(-lens_all[idx].max() // 4000) * 4000)
+        xs = np.zeros((len(idx), pad_to), np.float32)
+        for row, j in enumerate(idx):
+            xs[row, : lens_all[j]] = waves[j]
+        batches.append((jnp.asarray(xs),
+                        jnp.asarray(lens_all[idx], jnp.int32),
+                        float(lens_all[idx].sum()) / sr, pad_to))
+    for xs, ls, audio_seconds, pad_to in batches:
+        @jax.jit
+        def chain(v, x, l):
+            def body(i, x):
+                audio, _ = model.apply(v, x, lengths=l)
+                return x + 1e-6 * audio.sum(axis=0)
+            return jax.lax.fori_loop(0, n_chain, body, x).sum()
+
+        float(chain(variables, xs, ls))  # compile
+        t0 = time.perf_counter()
+        float(chain(variables, xs, ls))
+        total_s += (time.perf_counter() - t0) / n_chain
+        total_audio += audio_seconds
+        print(f"loader batch pad_to={pad_to}", flush=True)
+    results["loader_realistic_b4"] = {
+        "true_audio_s_per_s": round(total_audio / total_s, 1),
+        "batch_pad_shapes": [p for *_, p in batches],
+        "note": "sorted batches, per-batch bucket pad (production loader)",
+    }
+    print("loader_realistic_b4", results["loader_realistic_b4"], flush=True)
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "MEASURE_MASKED_EVAL.json")
     with open(out, "w") as f:

@@ -51,7 +51,13 @@ def main() -> None:
     chains = {}
     compile_s = {}
     for name, (pipe_on, dw_mode) in configs.items():
-        gcfn_mod.pipe_chunks = orig_chunks if pipe_on else (lambda bt: None)
+        # gcfn_train binds pipe_chunks BY NAME at import — patch both
+        # modules' bindings (the first run of this harness missed the
+        # train kernels entirely: "pipe_only" hit the compile cache with
+        # r4-identical HLO)
+        patched = orig_chunks if pipe_on else (lambda bt: None)
+        gcfn_mod.pipe_chunks = patched
+        gt_mod.pipe_chunks = patched
         dw_mod.BWD_MODE = dw_mode
         jax.clear_caches()
         train_step = make_train_step(variant, donate=False)

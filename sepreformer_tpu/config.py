@@ -174,6 +174,13 @@ class OptimConfig:
     # BN running stats update per micro-batch; clip/AdamW see the mean
     # gradient, matching a single big-batch step.  (Not in the reference.)
     accum_steps: int = 1
+    # run clip/AdamW/decay + the param update on ONE raveled vector
+    # instead of ~1300 per-leaf ops (identical math; see
+    # engine.train.flatten_transformation).  Changes the opt_state
+    # checkpoint tree: resumes of runs saved with per-leaf state must set
+    # this false.  Forced off under model parallelism (the mu/nu sharding
+    # rules match per-leaf paths).
+    flat_opt_state: bool = False
 
 
 @dataclass(frozen=True)

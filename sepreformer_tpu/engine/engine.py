@@ -100,6 +100,9 @@ class Engine:
                     attention_impl="xla", attention_train_impl="xla",
                     relpos_materializer="gather",
                 ),
+                # the adam mu/nu sharding rules match per-leaf module
+                # paths; a raveled opt_state has none
+                optim=_replace(cfg.optim, flat_opt_state=False),
             )
         self.cfg = cfg
         self.workdir = workdir

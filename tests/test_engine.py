@@ -273,3 +273,41 @@ def test_steps_per_dispatch_matches_single_dispatch(corpus, tmp_path):
         # the scan body compiles with different fusions than the lone
         # step -> fp reassociation drift in the trained params
         np.testing.assert_allclose(a["valid"], b["valid"], rtol=1e-4)
+
+
+def test_flat_opt_state_matches_per_leaf(corpus):
+    """optim.flat_opt_state computes the IDENTICAL update on one raveled
+    vector (clip/adam/decay are elementwise or globally-reduced) — two
+    steps must track the per-leaf path to fp noise."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+    from sepreformer_tpu.engine.train import create_train_state, make_train_step
+
+    cfg = tiny_variant(corpus)
+    cfg_flat = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, flat_opt_state=True))
+    t = 4000
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(scale=0.05, size=(2, t)), jnp.float32)
+    src = jnp.stack([x * 0.6, x * 0.4])
+    lr, alpha = jnp.float32(1e-3), jnp.float32(0.3)
+
+    states = {}
+    for name, c in (("leaf", cfg), ("flat", cfg_flat)):
+        state = create_train_state(c, jax.random.key(3), sample_len=t)
+        step = make_train_step(c, donate=False)
+        m = None
+        for i in range(2):
+            state, m = step(state, x, src, lr, alpha,
+                            jax.random.fold_in(jax.random.key(9), i))
+        states[name] = (state, m)
+    pa = jax.tree.leaves(states["leaf"][0].params)
+    pb = jax.tree.leaves(states["flat"][0].params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        float(states["leaf"][1]["grad_norm"]),
+        float(states["flat"][1]["grad_norm"]), rtol=1e-5)

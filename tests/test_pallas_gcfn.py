@@ -83,3 +83,27 @@ def test_full_model_fused_matches_xla():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(aux_fused), np.asarray(aux_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("pipe", ["auto", "off"])
+def test_multiblock_eval(rng, monkeypatch, masked, pipe):
+    """nt >= 2 (block-boundary halo rows), pipelined and single-shot.
+    Every pre-existing shape here resolved to a single block (nt=1), so
+    the bi>0/bi<nt-1 edge handling was interpret-untested."""
+    import sepreformer_tpu.ops.pallas.gcfn as gk
+    monkeypatch.setattr(gk, "MAX_BLOCK", 128)
+    b, t, f = 2, 256, 64
+    assert gk.pick_block(t) == 128  # really multi-block
+    x = jnp.asarray(rng.normal(size=(b, t, f)), jnp.float32)
+    params = _params(rng, f=f)
+    mask = None
+    if masked:
+        lens = jnp.asarray([200, 256], jnp.int32)
+        mask = (jnp.arange(t)[None, :, None] < lens[:, None, None]).astype(
+            jnp.float32)
+    ref = gcfn_reference(x, params, 1e-5, mask)
+    out = _fused_gcfn_impl(x, params, 1e-5, interpret=True, mask=mask,
+                           pipe=pipe)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -69,33 +69,39 @@ def test_gradients_match_reference(rng, p):
                                    rtol=2e-3, atol=2e-4)
 
 
-def test_multiblock_boundary_gradients(rng):
-    """Gradients across conv block boundaries (t > block size)."""
-    import sepreformer_tpu.ops.pallas.gcfn as gk
+@pytest.mark.parametrize("pipe", ["auto", "off"])
+def test_multiblock_boundary_gradients(rng, monkeypatch, pipe):
+    """Gradients across conv block boundaries (t > block size), for both
+    the pipelined and single-shot kernels.
 
-    old = gk.MAX_BLOCK, gk.MIN_BLOCK
-    gk.MAX_BLOCK, gk.MIN_BLOCK = 128, 64   # force multiple blocks at t=256
-    try:
-        x = jnp.asarray(rng.normal(size=(1, 256, 64)), jnp.float32)
-        params = _params(rng, f=64)
+    The original version patched gcfn.MAX_BLOCK, but pick_train_block
+    binds MAX_BLOCK by value at import — bt stayed 256 = t and nt was 1,
+    so the block-boundary path was never exercised.  Shrinking the VMEM
+    budget forces bt=128 (nt=2) for real."""
+    import sepreformer_tpu.ops.pallas.gcfn_train as gt
 
-        def loss_k(x, params):
-            return jnp.sum(
-                fused_gcfn_train(x, params, SEED, 1e-5, 0.1, True) ** 2
-            )
+    # cap = BUDGET // (hidden*4*LIVE_ROWS) -> 128 rows at hidden=384
+    monkeypatch.setattr(gt, "TRAIN_VMEM_BUDGET",
+                        128 * 384 * 4 * gt.TRAIN_LIVE_ROWS)
+    x = jnp.asarray(rng.normal(size=(1, 256, 64)), jnp.float32)
+    params = _params(rng, f=64)
+    assert gt.pick_train_block(256, 384) == 128  # really multi-block
 
-        def loss_r(x, params):
-            return jnp.sum(
-                gcfn_train_reference(x, params, 1e-5, SEED, 0.1) ** 2
-            )
+    def loss_k(x, params):
+        return jnp.sum(
+            fused_gcfn_train(x, params, SEED, 1e-5, 0.1, True, pipe) ** 2
+        )
 
-        gk_grads = jax.grad(loss_k, argnums=(0, 1))(x, params)
-        gr_grads = jax.grad(loss_r, argnums=(0, 1))(x, params)
-        for a, r in zip(jax.tree.leaves(gk_grads), jax.tree.leaves(gr_grads)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
-                                       rtol=2e-3, atol=2e-4)
-    finally:
-        gk.MAX_BLOCK, gk.MIN_BLOCK = old
+    def loss_r(x, params):
+        return jnp.sum(
+            gcfn_train_reference(x, params, 1e-5, SEED, 0.1) ** 2
+        )
+
+    gk_grads = jax.grad(loss_k, argnums=(0, 1))(x, params)
+    gr_grads = jax.grad(loss_r, argnums=(0, 1))(x, params)
+    for a, r in zip(jax.tree.leaves(gk_grads), jax.tree.leaves(gr_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-3, atol=2e-4)
 
 
 def test_gcfn_module_train_path_interpret(rng):

@@ -112,3 +112,25 @@ def test_full_model_fused_pv_masked_matches_xla():
     a = _model_out("xla", x, lens)
     b = _model_out("fused_pv_interpret", x, lens)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_key_blocked_matches_reference(monkeypatch, masked):
+    """The key-blocked online-softmax variant (used when the full-row
+    scratch would overflow VMEM, i.e. long utterances).  Budgets shrunk
+    so the kb path triggers at a test-sized Lp."""
+    import sepreformer_tpu.ops.pallas.softmax_pv as sp
+    monkeypatch.setattr(sp, "FULL_ROW_SCRATCH_BYTES", 1)
+    monkeypatch.setattr(sp, "KEY_BLOCK_SCRATCH_BYTES", 2 * 256 * 128 * 4)
+    rng = np.random.default_rng(7)
+    b, h, lp, d = 2, 3, 256, 16
+    scores = jnp.asarray(rng.normal(size=(b, h, lp, lp)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, lp, h * d)), jnp.float32)
+    t = 250
+    lens = jnp.asarray([180, 250], jnp.int32) if masked else None
+    assert sp.pick_key_block(lp, 4) == 128  # the kb path is really on
+    got = sp.softmax_pv(scores, v, lens, t, True)
+    ref = sp.softmax_pv_reference(scores, v, lens, t)
+    np.testing.assert_allclose(np.asarray(got[:, :t]),
+                               np.asarray(ref[:, :t]),
+                               rtol=2e-5, atol=2e-5)
