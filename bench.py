@@ -246,6 +246,14 @@ def main() -> None:
         # .jax_cache lacked; 0 with large compile_s = the residual is
         # cache-load/upload cost over the axon tunnel, not XLA compile
         "cache_entries_added": cache_entries() - cache_before,
+        # measured r4: in the driver window the Base infer leg pays an
+        # irreducible ~70 s of executable load/upload + first execution
+        # over the axon tunnel (NOT XLA compilation — zero new cache
+        # entries), plus window contention; back-to-back solo reruns on
+        # frozen code report ~2% higher audio-s/s than the driver's
+        # first-run number (736-739 vs 724 in r4)
+        "measurement_note": "driver first-run includes ~70s executable "
+                            "load floor; solo warm reruns ~2% higher",
         "large": large_extras,
     }
     peak_tflops = PEAK_TFLOPS

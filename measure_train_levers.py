@@ -43,14 +43,16 @@ def main() -> None:
     orig_chunks = gcfn_mod.pipe_chunks
 
     configs = {
-        "r4": (False, "fused"),
-        "pipe_only": (True, "fused"),
-        "dwconv_only": (False, "conv"),
-        "both": (True, "conv"),
+        "r4": (False, "fused", False),
+        "pipe_only": (True, "fused", False),
+        "dwconv_only": (False, "conv", False),
+        "both": (True, "conv", False),
+        "both_flat": (True, "conv", True),  # + optim.flat_opt_state
     }
     chains = {}
     compile_s = {}
-    for name, (pipe_on, dw_mode) in configs.items():
+    import dataclasses as _dc
+    for name, (pipe_on, dw_mode, flat) in configs.items():
         # gcfn_train binds pipe_chunks BY NAME at import — patch both
         # modules' bindings (the first run of this harness missed the
         # train kernels entirely: "pipe_only" hit the compile cache with
@@ -60,7 +62,13 @@ def main() -> None:
         gt_mod.pipe_chunks = patched
         dw_mod.BWD_MODE = dw_mode
         jax.clear_caches()
-        train_step = make_train_step(variant, donate=False)
+        v = variant
+        st = state
+        if flat:
+            v = _dc.replace(v, optim=_dc.replace(v.optim,
+                                                 flat_opt_state=True))
+            st = create_train_state(v, jax.random.key(0), sample_len=t)
+        train_step = make_train_step(v, donate=False)
         n_chain = 5
 
         @jax.jit
@@ -76,18 +84,20 @@ def main() -> None:
                 final.params, jnp.float32(0))
 
         t0 = time.perf_counter()
-        float(chain(state, x, src))
+        float(chain(st, x, src))
         compile_s[name] = round(time.perf_counter() - t0, 1)
-        chains[name] = chain
+        chains[name] = (chain, st)
         print(json.dumps({"compiled": name, "s": compile_s[name]}), flush=True)
     gcfn_mod.pipe_chunks = orig_chunks
+    gt_mod.pipe_chunks = orig_chunks
     dw_mod.BWD_MODE = "conv"
 
     times = {name: [] for name in configs}
     for rep in range(3):
         for name in configs:
+            fn, st = chains[name]
             t0 = time.perf_counter()
-            float(chains[name](state, x, src))
+            float(fn(st, x, src))
             times[name].append((time.perf_counter() - t0) / 5 * 1e3)
     results = {
         name: {"step_ms_min": round(min(v), 2),

@@ -80,6 +80,27 @@ def pick_block(t: int) -> int:
     return 0
 
 
+# block-size cap for the PIPELINED kernel: its live wide intermediates
+# are per-~128-row-chunk, not per-block, so bt only costs x/xa/out VMEM
+# ([bt, F] each) — larger blocks mean fewer grid steps (less per-step
+# fixed cost).  0 disables the widening (A/B knob).
+MAX_BLOCK_PIPE = 2000
+
+
+def pick_block_pipe(t: int) -> int:
+    """Block size for the pipelined kernel: like pick_block but allowed
+    up to MAX_BLOCK_PIPE.  Falls back to pick_block when widening is
+    disabled or finds nothing."""
+    if MAX_BLOCK_PIPE <= MAX_BLOCK:
+        return pick_block(t)
+    if t <= MAX_BLOCK_PIPE:
+        return t
+    for bt in range(MAX_BLOCK_PIPE, MIN_BLOCK - 1, -8):
+        if t % bt == 0:
+            return bt
+    return pick_block(t)
+
+
 def pipe_chunks(bt: int):
     """Static (start, size) sub-chunks covering [0, bt) for the pipelined
     kernel: ~SUB_ROWS rows each, sizes a multiple of 8 where possible
@@ -285,7 +306,12 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
     lns, lnb, win, bin_, wdw, bdw, wout, bout, ls = params
     b, t, f = x.shape
     hidden = win.shape[1]
-    bt = pick_block(t)
+    chunks = None
+    if pipe != "off":
+        bt = pick_block_pipe(t)
+        chunks = pipe_chunks(bt) if bt else None
+    if chunks is None:
+        bt = pick_block(t)
     if bt == 0:
         return gcfn_reference(x, params, eps, mask)
     nt = t // bt
@@ -342,7 +368,6 @@ def _fused_gcfn_impl(x, params, eps: float, interpret: bool = False,
     ]
     operands += [row2d(lns), row2d(lnb), win, row2d(bin_), wdw, row2d(bdw),
                  wout, row2d(bout), row2d(ls)]
-    chunks = pipe_chunks(bt) if pipe != "off" else None
     if chunks is not None:
         kernel = functools.partial(
             _gcfn_pipe_kernel if mask is None else _gcfn_pipe_kernel_masked,

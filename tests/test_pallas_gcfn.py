@@ -93,8 +93,10 @@ def test_multiblock_eval(rng, monkeypatch, masked, pipe):
     the bi>0/bi<nt-1 edge handling was interpret-untested."""
     import sepreformer_tpu.ops.pallas.gcfn as gk
     monkeypatch.setattr(gk, "MAX_BLOCK", 128)
+    monkeypatch.setattr(gk, "MAX_BLOCK_PIPE", 128)
     b, t, f = 2, 256, 64
     assert gk.pick_block(t) == 128  # really multi-block
+    assert gk.pick_block_pipe(t) == 128
     x = jnp.asarray(rng.normal(size=(b, t, f)), jnp.float32)
     params = _params(rng, f=f)
     mask = None
