@@ -1,7 +1,12 @@
 """Focused A/B: full Base forward with pipelined vs single-shot fused
-GCFN, alternating legs to average out background contention (a training
-client may be running on the shared chip).  Appends to
-MEASURE_GCFN_PIPE.json under "model_ab".
+GCFN.  Each leg is compiled AND measured within its own iteration — the
+earlier alternating version cleared the first leg's jit cache when
+compiling the second, so the first leg silently re-traced under the
+restored (auto) patch at measurement time and both legs measured the
+same program.  Requires a quiet chip.  Also covers the widened
+MAX_BLOCK_PIPE=2000 blocks (bt=2000, nt=4 at full resolution).
+
+Appends to MEASURE_GCFN_PIPE.json under "model_ab".
 """
 
 from __future__ import annotations
@@ -33,7 +38,7 @@ def main() -> None:
     variables = jax.jit(model.init)(jax.random.key(0), xw[:1, :16000])
     orig_chunks = gcfn_mod.pipe_chunks
 
-    chains = {}
+    summary = {}
     for pipe in ("off", "auto"):
         gcfn_mod.pipe_chunks = (
             (lambda bt: None) if pipe == "off" else orig_chunks)
@@ -46,21 +51,20 @@ def main() -> None:
                 return xw + 1e-6 * audio.sum(axis=0)
             return jax.lax.fori_loop(0, 20, body, xw).sum()
 
-        float(fchain(variables, xw))  # compile + warm
-        chains[pipe] = fchain
+        t0 = time.perf_counter()
+        float(fchain(variables, xw))
+        compile_s = round(time.perf_counter() - t0, 1)
+        reps = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(fchain(variables, xw))
+            reps.append((time.perf_counter() - t0) / 20 * 1e3)
+        summary[pipe] = {"step_ms_min": round(min(reps), 2),
+                         "step_ms_all": [round(a, 2) for a in reps],
+                         "compile_s": compile_s}
+        print(json.dumps({pipe: summary[pipe]}), flush=True)
     gcfn_mod.pipe_chunks = orig_chunks
 
-    times: dict[str, list] = {"off": [], "auto": []}
-    for rep in range(4):
-        for pipe in ("off", "auto"):
-            t0 = time.perf_counter()
-            float(chains[pipe](variables, xw))
-            times[pipe].append((time.perf_counter() - t0) / 20 * 1e3)
-    summary = {
-        pipe: {"step_ms_min": round(min(v), 2),
-               "step_ms_all": [round(x, 2) for x in v]}
-        for pipe, v in times.items()
-    }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "MEASURE_GCFN_PIPE.json")
     data = {}

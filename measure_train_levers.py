@@ -5,13 +5,20 @@ step (bench.py chained method):
                single-shot r4 kernels (gcfn_train.py pipe knob)
 - dw bwd mode: dx as an XLA flipped-kernel depthwise conv + dw-only tap
                loop ("conv") vs the fused dx+dw tap loop ("fused")
+- flat opt:    optim.flat_opt_state (one raveled optimizer pass)
 
-Configs: r4 = (pipe off, fused), each lever alone, both.  Legs alternate
-to average background contention.  Writes MEASURE_TRAIN_LEVERS.json.
+Each config is compiled AND measured inside its own iteration — earlier
+versions alternated legs, but `jax.clear_caches()` between configs plus
+closures capturing the rebound `train_step` loop variable meant every
+leg silently re-traced to the LAST config's program at measurement time
+(all legs identical to 0.4% — the tell).  Requires a quiet chip.
+
+Writes MEASURE_TRAIN_LEVERS.json.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -39,7 +46,6 @@ def main() -> None:
     batch, t = 4, 32000
     x = jnp.asarray(rng.normal(scale=0.05, size=(batch, t)), jnp.float32)
     src = jnp.stack([x * 0.5, x * 0.5])  # [spks, B, T]
-    state = create_train_state(variant, jax.random.key(0), sample_len=t)
     orig_chunks = gcfn_mod.pipe_chunks
 
     configs = {
@@ -49,32 +55,27 @@ def main() -> None:
         "both": (True, "conv", False),
         "both_flat": (True, "conv", True),  # + optim.flat_opt_state
     }
-    chains = {}
-    compile_s = {}
-    import dataclasses as _dc
+    results = {}
+    n_chain = 5
     for name, (pipe_on, dw_mode, flat) in configs.items():
         # gcfn_train binds pipe_chunks BY NAME at import — patch both
-        # modules' bindings (the first run of this harness missed the
-        # train kernels entirely: "pipe_only" hit the compile cache with
-        # r4-identical HLO)
+        # modules' bindings
         patched = orig_chunks if pipe_on else (lambda bt: None)
         gcfn_mod.pipe_chunks = patched
         gt_mod.pipe_chunks = patched
         dw_mod.BWD_MODE = dw_mode
         jax.clear_caches()
         v = variant
-        st = state
         if flat:
-            v = _dc.replace(v, optim=_dc.replace(v.optim,
-                                                 flat_opt_state=True))
-            st = create_train_state(v, jax.random.key(0), sample_len=t)
+            v = dataclasses.replace(
+                v, optim=dataclasses.replace(v.optim, flat_opt_state=True))
+        st = create_train_state(v, jax.random.key(0), sample_len=t)
         train_step = make_train_step(v, donate=False)
-        n_chain = 5
 
         @jax.jit
-        def chain(state, x, src):
+        def chain(state, x, src, _step=train_step):
             def body(i, state):
-                new_state, _ = train_step(
+                new_state, _ = _step(
                     state, x, src, jnp.float32(1e-4), jnp.float32(0.4),
                     jax.random.key(1))
                 return new_state
@@ -85,26 +86,22 @@ def main() -> None:
 
         t0 = time.perf_counter()
         float(chain(st, x, src))
-        compile_s[name] = round(time.perf_counter() - t0, 1)
-        chains[name] = (chain, st)
-        print(json.dumps({"compiled": name, "s": compile_s[name]}), flush=True)
+        compile_s = round(time.perf_counter() - t0, 1)
+        reps = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(chain(st, x, src))
+            reps.append((time.perf_counter() - t0) / n_chain * 1e3)
+        results[name] = {
+            "step_ms_min": round(min(reps), 2),
+            "step_ms_all": [round(a, 2) for a in reps],
+            "compile_s": compile_s,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
     gcfn_mod.pipe_chunks = orig_chunks
     gt_mod.pipe_chunks = orig_chunks
     dw_mod.BWD_MODE = "conv"
 
-    times = {name: [] for name in configs}
-    for rep in range(3):
-        for name in configs:
-            fn, st = chains[name]
-            t0 = time.perf_counter()
-            float(fn(st, x, src))
-            times[name].append((time.perf_counter() - t0) / 5 * 1e3)
-    results = {
-        name: {"step_ms_min": round(min(v), 2),
-               "step_ms_all": [round(a, 2) for a in v],
-               "compile_s": compile_s[name]}
-        for name, v in times.items()
-    }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "MEASURE_TRAIN_LEVERS.json")
     with open(path, "w") as fjson:

@@ -176,10 +176,12 @@ class OptimConfig:
     accum_steps: int = 1
     # run clip/AdamW/decay + the param update on ONE raveled vector
     # instead of ~1300 per-leaf ops (identical math; see
-    # engine.train.flatten_transformation).  Changes the opt_state
-    # checkpoint tree: resumes of runs saved with per-leaf state must set
-    # this false.  Forced off under model parallelism (the mu/nu sharding
-    # rules match per-leaf paths).
+    # engine.train.flatten_transformation).  MEASURED NEUTRAL on v5e
+    # (MEASURE_TRAIN_LEVERS.json: +0.4 ms of 167 — the ravel/unravel
+    # copies cost what the per-leaf op overhead did), so the default
+    # stays off.  Changes the opt_state checkpoint tree: resumes of runs
+    # saved with per-leaf state must set this false.  Forced off under
+    # model parallelism (the mu/nu sharding rules match per-leaf paths).
     flat_opt_state: bool = False
 
 

@@ -38,12 +38,15 @@ def flatten_transformation(
     """Run ``inner`` on ONE raveled [n_params] vector instead of the
     param tree.
 
-    Why: the model has ~1300 parameter leaves; per-leaf optimizer math
-    lowers to ~1300 small fused loops whose fixed per-op cost dominates
-    the (tiny) elementwise work — the r4 train profile attributes ~8 ms
-    of the 122 ms step to AdamW alone.  Adam/clip/decay are elementwise
-    (or already-global reductions), so the flat vector computes the
-    IDENTICAL update, one HBM-bound pass.  The opt_state becomes flat
+    Why tried: the model has ~1300 parameter leaves; per-leaf optimizer
+    math lowers to ~1300 small fused loops whose fixed per-op cost the
+    r4 train profile put at ~8 ms of the 122 ms step.  Adam/clip/decay
+    are elementwise (or already-global reductions), so the flat vector
+    computes the IDENTICAL update in one HBM-bound pass.  MEASURED
+    NEUTRAL on v5e (MEASURE_TRAIN_LEVERS.json: within 0.4 ms) — the
+    ravel of grads and the unravel of params are themselves ~1300 copy
+    ops, costing what the per-leaf math did.  Kept as a knob for
+    hardware where copy ops batch better.  The opt_state becomes flat
     vectors (mu/nu: [n]), which changes the checkpoint tree — resumes of
     runs checkpointed with per-leaf state must set
     ``optim.flat_opt_state=false``.  Requires a uniform param dtype
@@ -52,7 +55,8 @@ def flatten_transformation(
     from jax.flatten_util import ravel_pytree
 
     def init(params):
-        dtypes = {np.asarray(l).dtype for l in jax.tree.leaves(params)}
+        # .dtype works on tracers too (init may run under jit)
+        dtypes = {np.dtype(l.dtype) for l in jax.tree.leaves(params)}
         if len(dtypes) > 1:
             raise ValueError(
                 f"flat_opt_state needs a uniform param dtype, got {dtypes}")

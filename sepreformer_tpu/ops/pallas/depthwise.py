@@ -249,10 +249,13 @@ def _vjp_fwd(x, w, b, interpret):
 
 
 # "conv" computes dx as an XLA depthwise conv of dy with the flipped
-# kernel (MXU lowering, same one that makes the forward fast) and keeps
-# only dw/db in the Pallas tap-loop — half the VPU work.  "fused" is the
-# original single-kernel dx+dw tap loop, kept for A/B.
-BWD_MODE = "conv"
+# kernel and keeps only dw/db in the Pallas tap loop.  MEASURED AND
+# REJECTED (MEASURE_TRAIN_LEVERS.json, v5e, solo): full Base train step
+# 163.0 ms vs 129.8 ms with the fused tap loop — XLA's lowering for the
+# standalone flipped-kernel grouped conv is nowhere near its fast
+# in-graph forward lowering, and dx/dw as separate ops re-read dy/x from
+# HBM.  "fused" (default) is the single-kernel dx+dw tap loop.
+BWD_MODE = "fused"
 
 
 def _vjp_bwd(interpret, res, g):

@@ -671,9 +671,16 @@ def _bwd_train_impl(x, params, seed, dout, eps: float, p: float,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_gcfn_train(x, params, seed, eps: float, p: float,
-                     interpret: bool = False, pipe: str = "auto"):
-    """GCFN with hash dropout: fused forward + fused backward.  ``pipe``
-    "off" forces the single-shot kernels (A/B vs the pipelined ones)."""
+                     interpret: bool = False, pipe: str = "off"):
+    """GCFN with hash dropout: fused forward + fused backward.
+
+    ``pipe`` selects the sub-chunked software-pipelined kernels ("auto")
+    vs the single-shot ones ("off").  Default is "off": MEASURED
+    (MEASURE_TRAIN_LEVERS.json, v5e, solo) the pipelined TRAIN pair is
+    3.2% slower end-to-end (133.9 vs 129.8 ms full Base step) — the
+    per-chunk halo recompute (+4 projected rows and a second LN per
+    chunk in the backward) costs more than the MXU/VPU overlap buys.
+    The EVAL kernel keeps pipelining (gcfn.py, where it wins 3.6%)."""
     return _fwd_train_impl(x, params, seed, eps, p, interpret, pipe)
 
 
