@@ -210,31 +210,31 @@ def resolve_attention_train_impl(impl: str, length: int = 0) -> str:
 
 
 def resolve_attention_impl(impl: str, length: int = 0) -> str:
-    """'auto' on TPU — three bands, all MEASURED (BENCH_LONG.json, v5e,
-    B=1 full-context forwards; MEASURE_ATTENTION_PV.json at B=4 4 s):
+    """'auto' on TPU — MEASURED bands (BENCH_LONG.json, v5e, B=1
+    full-context forwards; MEASURE_ATTENTION_PV.json at B=4 4 s):
 
-    - L <= 1024: "fused_pv" (XLA scores + Pallas masked-softmax·V).
-      Wins everywhere it fits VMEM: 21.7 vs 23.2 ms at the bottleneck
-      (B=4 4 s), and 17.9 vs 24.0 (xla) / 34.9 (flash) ms at 8 s
-      utterances (L=1000).  The kernel's double-buffered per-head
-      [Lp, Lp] scratch overflows VMEM at Lp=2048 (compile failure) —
-      hence the ceiling.
-    - 1024 < L <= 2048: "xla".  The dense path beats the flash kernel
-      here (16 s: 80.8 vs 108.9 ms) — the flash kernel's one-head-per-
-      program d=16 dots fill 16 of 128 MXU lanes, and at these lengths
-      HBM still holds the L² tensors comfortably.
-    - L > 2048: "pallas" (flash).  The dense path stops compiling
-      (server-side compiler failure at L=4000, 32 s); the flash kernel
-      is the only full-context option (392.6 ms at 32 s) and the
-      memory-safe choice.  Linear-cost chunked serving
+    - L <= 8192: "fused_pv" (XLA scores + Pallas masked-softmax·V).
+      Wins at EVERY measured length since the r5 query+key-blocked
+      streaming variant removed the Lp=2048 scratch ceiling (the
+      full-row [Lp, Lp] scratch swaps to [LQ, KB] online-softmax tiles
+      past ~10 MB): 21.7 vs 23.2 ms at the bottleneck (B=4 4 s), then
+      17.8 / 55.8 / 171.7 / 571.3 ms at 8 / 16 / 32 / 64 s vs dense xla
+      22.9 / 80.6 / 268.5 / — and flash 34.6 / 109.2 / 391.4 / — .
+      (The r4 "dense xla wins at 16 s" band and the "dense stops
+      compiling at 32 s" failure were BOTH one bug: the relpos pos_kt
+      materializer's fixed 50-row out block blew the 16 MB scoped-vmem
+      limit at t >= 2000 — ops/pallas/relpos.py::_pick_bi.)
+    - L > 8192: "pallas" (flash).  fused_pv's [B·spks, H, Lp, Lp]
+      scores tensor is XLA-materialized in HBM (~4.3 GB at L=8000,
+      measured OK; ~17 GB at L=16000 — past the chip).  The flash
+      kernel never materializes scores, so it is the memory-safe
+      full-context fallback; linear-cost chunked serving
       (sepreformer_tpu.serving) remains the recommended long-form path.
     """
     if impl == "auto":
         if jax.default_backend() == "tpu":
-            if length <= 1024:
+            if length <= 8192:
                 return "fused_pv"
-            if length <= 2048:
-                return "xla"
             return "pallas"
         return "xla"
     return impl

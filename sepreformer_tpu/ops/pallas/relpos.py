@@ -63,6 +63,23 @@ def _kernel(pe_ref, out_ref, *, bi: int, tp: int, t: int):
     jax.lax.fori_loop(0, bi, body, 0)
 
 
+ROW_BLOCK_BYTES = 4 * 1024 * 1024
+
+
+def _pick_bi(t: int, d: int) -> int:
+    """Largest divisor of t with the [bi, d, t] out block within budget
+    (double-buffered by the pipeline) and <= 64 rows.  At the bottleneck
+    length 500 this picks 50 — identical to the original fixed choice —
+    while long-form lengths (t=2000: bi=25) stay under the 16 MB scoped
+    vmem limit the fixed bi=50 block blew at L=2000 (12.8 MB of out
+    buffers alone; the r5 fused_pv/16s compile failure)."""
+    cap = max(1, ROW_BLOCK_BYTES // (d * t * 4))
+    for bi in range(min(t, cap, 64), 0, -1):
+        if t % bi == 0:
+            return bi
+    return t
+
+
 @functools.partial(jax.jit, static_argnames=("t", "maxlen", "interpret"))
 def _materialize_pos_kt_impl(table: jnp.ndarray, t: int, maxlen: int,
                              interpret: bool = False) -> jnp.ndarray:
@@ -70,7 +87,7 @@ def _materialize_pos_kt_impl(table: jnp.ndarray, t: int, maxlen: int,
     d = table.shape[1]
     tp = max(LANE, ((t + LANE - 1) // LANE) * LANE)
     pe = _pe_revT(table.astype(jnp.float32), tp, maxlen)
-    bi = 64 if t % 64 == 0 else (50 if t % 50 == 0 else t)
+    bi = _pick_bi(t, d)
     nb = t // bi
     kernel = functools.partial(_kernel, bi=bi, tp=tp, t=t)
     return pl.pallas_call(

@@ -47,18 +47,28 @@ FULL_ROW_SCRATCH_BYTES = 10 * 1024 * 1024
 KEY_BLOCK_SCRATCH_BYTES = 8 * 1024 * 1024
 
 
-def pick_key_block(lp: int, itemsize: int) -> int:
-    """Largest 128-multiple key-block width whose double-buffered
-    [Lp, KB] scratch fits the budget (0 if even KB=128 doesn't fit)."""
-    kb = (KEY_BLOCK_SCRATCH_BYTES // (2 * lp * itemsize)) // 128 * 128
-    kb = min(kb, lp)
-    if kb < 128 or lp % kb != 0:
-        # fall back to the largest 128-multiple divisor of lp that fits
-        for cand in range(min(kb, lp), 127, -128):
+def pick_qk_blocks(lp: int, itemsize: int) -> tuple:
+    """(LQ, KB) for the query+key-blocked kernel: largest 128-multiple
+    divisors of lp with LQ <= 512 (keeps the per-row m/l/acc accumulators
+    small — a [Lp, 1] f32 vector tile-expands to Lp/8 full (8, 128) tiles,
+    1 MB at Lp=2048, which is what blew the 16 MB scoped-vmem limit in the
+    first Lp-tall formulation) and the double-buffered [LQ, KB] scratch
+    within budget.  (0, 0) if lp has no 128-multiple divisor."""
+
+    def largest_divisor(limit: int) -> int:
+        for cand in range(min(limit, lp), 127, -128):
             if lp % cand == 0:
                 return cand
         return 0
-    return kb
+
+    lq = largest_divisor(512)
+    if lq == 0:
+        return 0, 0
+    kb_cap = (KEY_BLOCK_SCRATCH_BYTES // (2 * lq * itemsize)) // 128 * 128
+    kb = largest_divisor(min(kb_cap, 1024))
+    if kb == 0:
+        return 0, 0
+    return lq, kb
 
 
 def _kernel(lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
@@ -94,21 +104,29 @@ def _kernel(lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
 
 
 def _kernel_kb(lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
-               *, length: int, lp: int, heads: int, kb: int):
-    """Key-blocked variant: streams [Lp, KB] score tiles with online
-    softmax (flash-style m/l/acc accumulators), so the per-head scratch
-    is 2·Lp·KB instead of 2·Lp² — removes the Lp=2048 VMEM ceiling that
-    forced 16 s utterances onto the dense XLA path.  Math is the same
-    full-row softmax, just accumulated blockwise in f32."""
+               *, length: int, lp: int, heads: int, lq: int, kb: int):
+    """Query+key-blocked variant: for each LQ-row query block (grid dim),
+    streams [LQ, KB] score tiles with online softmax (flash-style m/l/acc
+    accumulators).  Scratch is 2·LQ·KB and the per-row accumulators are
+    [LQ, 1] — both independent of Lp, which removes the Lp=2048 ceiling
+    that forced 16 s utterances onto the dense XLA path.  (The first
+    key-blocked attempt kept full-Lp rows: its [Lp, 1] m/l vectors each
+    tile-expand to 1 MB at Lp=2048 and the kernel blew the 16 MB
+    scoped-vmem limit at 19.7 MB — measured on v5e, r5.)  Math is the
+    same full-row softmax, just accumulated key-blockwise in f32."""
     b = pl.program_id(0)
+    qi = pl.program_id(1)
     limit = jnp.minimum(length, lens_ref[b, 0])
     d = v_ref.shape[-1] // heads
     nkb = lp // kb
-    col0 = jax.lax.broadcasted_iota(jnp.int32, (lp, kb), 1)
+    # column validity only depends on the key index: one [1, KB] row
+    # broadcasts over the LQ query rows (a full [LQ, KB] iota was 4 MB
+    # of the scoped-vmem blowup in the first attempt)
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, kb), 1)
 
     def get_dma(slot, hh, j):
         return pltpu.make_async_copy(
-            s_hbm.at[b, hh, :, pl.ds(j * kb, kb)],
+            s_hbm.at[b, hh, pl.ds(qi * lq, lq), pl.ds(j * kb, kb)],
             scratch.at[slot], sems.at[slot],
         )
 
@@ -117,15 +135,22 @@ def _kernel_kb(lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
 
         def body(j, carry):
             m, l, acc = carry
-            slot = jax.lax.rem(j, 2)
+            # slot parity follows the GLOBAL block counter hh*nkb + j, so
+            # the cross-head prefetch lands in the slot the next head's
+            # j=0 iteration actually waits on (plain rem(j, 2) broke for
+            # odd nkb: head h+1 block 0 was prefetched into slot
+            # rem(nkb, 2) = 1 but read from slot 0 — caught by the
+            # multi-head interpret test at nkb=3)
+            g = hh * nkb + j
+            slot = jax.lax.rem(g, 2)
 
             @pl.when(j + 1 < nkb)
             def _():
-                get_dma(jax.lax.rem(j + 1, 2), hh, j + 1).start()
+                get_dma(jax.lax.rem(g + 1, 2), hh, j + 1).start()
 
             @pl.when(jnp.logical_and(j + 1 >= nkb, hh + 1 < heads))
             def _():
-                get_dma(jax.lax.rem(j + 1, 2), hh + 1, 0).start()
+                get_dma(jax.lax.rem(g + 1, 2), hh + 1, 0).start()
 
             get_dma(slot, hh, j).wait()
             s = scratch[slot].astype(jnp.float32)
@@ -145,9 +170,9 @@ def _kernel_kb(lens_ref, s_hbm, v_ref, out_ref, scratch, sems,
                     l * corr + jnp.sum(p, axis=1, keepdims=True),
                     acc * corr + pv)
 
-        m0 = jnp.full((lp, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((lp, 1), jnp.float32)
-        a0 = jnp.zeros((lp, d), jnp.float32)
+        m0 = jnp.full((lq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((lq, 1), jnp.float32)
+        a0 = jnp.zeros((lq, d), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nkb, body, (m0, l0, a0))
         out_ref[0, :, hh * d:(hh + 1) * d] = (acc / l).astype(out_ref.dtype)
 
@@ -208,16 +233,34 @@ def _softmax_pv_impl(scores, v, lens, length, interpret=False):
     b, h, lp, _ = scores.shape
     f = v.shape[-1]
     if 2 * lp * lp * scores.dtype.itemsize > FULL_ROW_SCRATCH_BYTES:
-        kb = pick_key_block(lp, scores.dtype.itemsize)
+        lq, kb = pick_qk_blocks(lp, scores.dtype.itemsize)
         if kb == 0:
             return softmax_pv_reference(scores, v, lens[:, 0], length)
         kernel = functools.partial(_kernel_kb, length=length, lp=lp,
-                                   heads=h, kb=kb)
-        scratch = pltpu.VMEM((2, lp, kb), scores.dtype)
-    else:
-        kb = 0
-        kernel = functools.partial(_kernel, length=length, lp=lp, heads=h)
-        scratch = pltpu.VMEM((2, lp, lp), scores.dtype)
+                                   heads=h, lq=lq, kb=kb)
+        return pl.pallas_call(
+            kernel,
+            grid=(b, lp // lq),
+            in_specs=[
+                pl.BlockSpec((b, 1), lambda bb, qi: (0, 0),
+                             memory_space=pltpu.SMEM),
+                # scores stay in HBM; the kernel streams one [LQ, KB]
+                # tile at a time through the double-buffered scratch
+                pl.BlockSpec(memory_space=pl.ANY),
+                # V stays block-resident across the q-block sweep
+                pl.BlockSpec((1, lp, f), lambda bb, qi: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, lq, f), lambda bb, qi: (bb, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, lp, f), v.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, lq, kb), scores.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(lens, scores, v)
+    kernel = functools.partial(_kernel, length=length, lp=lp, heads=h)
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -225,8 +268,7 @@ def _softmax_pv_impl(scores, v, lens, length, interpret=False):
             pl.BlockSpec((b, 1), lambda bb: (0, 0),
                          memory_space=pltpu.SMEM),
             # scores stay in HBM; the kernel streams one [Lp, Lp] head
-            # (or [Lp, KB] key block) at a time through the
-            # double-buffered scratch
+            # at a time through the double-buffered scratch
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, lp, f), lambda bb: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -235,7 +277,7 @@ def _softmax_pv_impl(scores, v, lens, length, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lp, f), v.dtype),
         scratch_shapes=[
-            scratch,
+            pltpu.VMEM((2, lp, lp), scores.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -116,9 +116,10 @@ def test_full_model_fused_pv_masked_matches_xla():
 
 @pytest.mark.parametrize("masked", [False, True])
 def test_key_blocked_matches_reference(monkeypatch, masked):
-    """The key-blocked online-softmax variant (used when the full-row
-    scratch would overflow VMEM, i.e. long utterances).  Budgets shrunk
-    so the kb path triggers at a test-sized Lp."""
+    """The query+key-blocked online-softmax variant (used when the
+    full-row scratch would overflow VMEM, i.e. long utterances).
+    Budgets shrunk so the blocked path triggers at a test-sized Lp with
+    multiple query blocks AND multiple key blocks."""
     import sepreformer_tpu.ops.pallas.softmax_pv as sp
     monkeypatch.setattr(sp, "FULL_ROW_SCRATCH_BYTES", 1)
     monkeypatch.setattr(sp, "KEY_BLOCK_SCRATCH_BYTES", 2 * 256 * 128 * 4)
@@ -128,7 +129,29 @@ def test_key_blocked_matches_reference(monkeypatch, masked):
     v = jnp.asarray(rng.normal(size=(b, lp, h * d)), jnp.float32)
     t = 250
     lens = jnp.asarray([180, 250], jnp.int32) if masked else None
-    assert sp.pick_key_block(lp, 4) == 128  # the kb path is really on
+    # the blocked path is really on, with kb < lp (multiple key blocks)
+    assert sp.pick_qk_blocks(lp, 4) == (256, 128)
+    got = sp.softmax_pv(scores, v, lens, t, True)
+    ref = sp.softmax_pv_reference(scores, v, lens, t)
+    np.testing.assert_allclose(np.asarray(got[:, :t]),
+                               np.asarray(ref[:, :t]),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_query_blocked_matches_reference(monkeypatch, masked):
+    """Force lq < lp (multiple query-block grid steps) explicitly."""
+    import sepreformer_tpu.ops.pallas.softmax_pv as sp
+    monkeypatch.setattr(sp, "FULL_ROW_SCRATCH_BYTES", 1)
+    monkeypatch.setattr(sp, "KEY_BLOCK_SCRATCH_BYTES", 2 * 256 * 128 * 4)
+
+    monkeypatch.setattr(sp, "pick_qk_blocks", lambda lp, isz: (128, 128))
+    rng = np.random.default_rng(11)
+    b, h, lp, d = 1, 2, 384, 16
+    scores = jnp.asarray(rng.normal(size=(b, h, lp, lp)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, lp, h * d)), jnp.float32)
+    t = 380
+    lens = jnp.asarray([300], jnp.int32) if masked else None
     got = sp.softmax_pv(scores, v, lens, t, True)
     ref = sp.softmax_pv_reference(scores, v, lens, t)
     np.testing.assert_allclose(np.asarray(got[:, :t]),
